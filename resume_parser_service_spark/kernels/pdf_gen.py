@@ -1,0 +1,155 @@
+"""Deterministic minimal-PDF generator.
+
+Produces classic-xref PDF 1.4 files with FlateDecode content streams,
+a simple Latin-1 font carrying an identity ToUnicode CMap, Tj text
+operators, and optional ``/Annots -> /A -> /URI`` link annotations.
+
+Used to synthesize the ``pages`` corpus (BASELINE.json input_hint) and
+kernel round-trip tests: ``extract(make_pdf(pages)) == "\\n\\n".join(pages)``.
+
+The file layout mirrors what the reference validates on upload — the
+``%PDF`` magic and a parseable structure with >=1 page
+(/root/reference/app/routers/resume_ingestor_router.py:26-28,102-141) —
+but the writer itself is original, built from the public PDF 1.7 spec
+(ISO 32000-1): header, indirect objects, classic xref table, trailer.
+
+Generation constraints (documented, enforced by the corpus generator):
+page texts are Latin-1, use single ``\\n`` between non-empty lines, and
+contain no empty lines (an empty line has no text run, so it cannot
+round-trip through a layout parser byte-identically).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+__all__ = ["make_pdf"]
+
+# Page geometry: US Letter, 1in left margin, start at y=760, 14pt leading.
+_X0 = 72
+_Y0 = 760.0
+_LEADING = 14.0
+_FONT_SIZE = 11
+
+
+def _esc_pdf_string(s: str) -> bytes:
+    """Encode text as a Latin-1 PDF literal string with escapes."""
+    out = bytearray()
+    for ch in s:
+        b = ord(ch)
+        if b > 255:
+            raise ValueError(f"non-Latin-1 char {ch!r} not supported by generator")
+        if ch in "()\\":
+            out += b"\\" + ch.encode("latin-1")
+        elif 32 <= b <= 126:
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode("ascii")
+    return bytes(out)
+
+
+def _tounicode_cmap() -> bytes:
+    """Identity ToUnicode CMap for 1-byte Latin-1 codes 0x20..0xFF."""
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<20> <ff>",
+        b"endcodespacerange",
+        b"1 beginbfrange",
+        b"<20> <ff> <0020>",
+        b"endbfrange",
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(lines)
+
+
+def _content_stream(page_text: str) -> bytes:
+    """Build the uncompressed content stream for one page of text."""
+    ops = [b"BT", b"/F1 %d Tf" % _FONT_SIZE, b"%.1f TL" % _LEADING,
+           b"%d %.1f Td" % (_X0, _Y0)]
+    for i, line in enumerate(page_text.split("\n")):
+        if i > 0:
+            ops.append(b"T*")
+        if line:
+            ops.append(b"(" + _esc_pdf_string(line) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def make_pdf(pages: list[str], links: list[str] | None = None,
+             compress: bool = True) -> bytes:
+    """Build a deterministic multi-page PDF carrying ``pages`` texts.
+
+    ``links`` become ``/URI`` link annotations on page 1 (order kept),
+    mirroring the link semantics the reference extracts
+    (/root/reference/app/services/resume_parser.py:198-222).
+    """
+    if not pages:
+        raise ValueError("need at least one page")
+    links = links or []
+    objs: dict[int, bytes] = {}  # obj number -> body (without "N 0 obj"/"endobj")
+
+    n_pages = len(pages)
+    # Object numbering: 1=Catalog, 2=Pages, 3=Font, 4=ToUnicode stream,
+    # then per page i: (5+2i)=Page, (6+2i)=Content; links appended after.
+    page_obj = [5 + 2 * i for i in range(n_pages)]
+    content_obj = [6 + 2 * i for i in range(n_pages)]
+    next_obj = 5 + 2 * n_pages
+    annot_objs = list(range(next_obj, next_obj + len(links)))
+
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = b" ".join(b"%d 0 R" % p for p in page_obj)
+    objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    cmap = _tounicode_cmap()
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               b" /Encoding /WinAnsiEncoding /ToUnicode 4 0 R >>")
+    objs[4] = (b"<< /Length %d >>\nstream\n" % len(cmap)) + cmap + b"\nendstream"
+
+    for i in range(n_pages):
+        annots = b""
+        if i == 0 and annot_objs:
+            annots = (b" /Annots [" +
+                      b" ".join(b"%d 0 R" % a for a in annot_objs) + b"]")
+        objs[page_obj[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents %d 0 R" % content_obj[i] + annots + b" >>")
+        raw = _content_stream(pages[i])
+        if compress:
+            data = zlib.compress(raw, 9)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = raw
+            head = b"<< /Length %d >>" % len(data)
+        objs[content_obj[i]] = head + b"\nstream\n" + data + b"\nendstream"
+
+    for j, (aobj, uri) in enumerate(zip(annot_objs, links)):
+        y1 = 700 - 20 * j
+        objs[aobj] = (
+            b"<< /Type /Annot /Subtype /Link /Rect [72 %d 300 %d]"
+            b" /Border [0 0 0]"
+            b" /A << /Type /Action /S /URI /URI (" % (y1, y1 + 14) +
+            _esc_pdf_string(uri) + b") >> >>")
+
+    # Serialize with a classic xref table.
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    max_obj = max(objs)
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (max_obj + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_obj + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_obj + 1, xref_pos))
+    return bytes(out)

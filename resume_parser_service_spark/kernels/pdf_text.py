@@ -1,0 +1,830 @@
+"""Deterministic PDF text + hyperlink extraction (pure Python, no deps).
+
+Replaces the reference's remote OCR pipeline (Azure ``prebuilt-read`` at
+/root/reference/app/services/read_azure.py:12-42 and GPT-4o vision OCR at
+/root/reference/app/services/resume_parser.py:170-196) with a local
+byte-stream layout parser, per BASELINE.json ``north_star``. Hyperlink
+extraction mirrors /root/reference/app/services/resume_parser.py:198-222
+(per page ``/Annots`` -> ``/A`` -> ``/URI``, order kept, uri-less
+annotations dropped).
+
+Built from the public PDF 1.7 spec (ISO 32000-1). Scope (matches every
+reference fixture, probed — see FIXTURES.md §5): classic xref tables
+(incl. /Prev chains), FlateDecode, simple + Type0 fonts with ToUnicode
+CMaps, BT/ET text blocks with Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/" operators,
+q/Q/cm graphics state. Unsupported filters (DCTDecode images etc.) are
+skipped — they carry no text.
+
+Output contract (total, version-frozen; bump KERNEL_VERSION on change):
+text runs are grouped into lines by device-space baseline (y rounded to
+0.1pt bands), lines sorted top-to-bottom then left-to-right, runs within
+a line joined with a space iff the x-gap exceeds 0.25 * font size,
+lines joined with "\n", pages joined with "\n\n".
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
+
+KERNEL_VERSION = "pdf-1.0.0"
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfError(ValueError):
+    """Structurally invalid PDF (mirrors the reference's PdfStreamError
+    handling at /root/reference/app/routers/resume_ingestor_router.py:129-141)."""
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):
+        return f"_Ref({self.num},{self.gen})"
+
+
+class _Name(str):
+    """PDF name object (distinct from strings)."""
+
+
+class _Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict, self.raw = d, raw
+
+
+# ---------------------------------------------------------------- lexer ---
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[_Name, int]:
+    pos += 1  # '/'
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS or c in _DELIM:
+            break
+        if c == 0x23 and pos + 2 < n:  # '#xx' hex escape
+            try:
+                out.append(int(data[pos + 1:pos + 3], 16))
+                pos += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        pos += 1
+    return _Name(out.decode("latin-1")), pos
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    pos += 1  # '('
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                pos += 1
+            elif e in b"()\\":
+                out.append(e)
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray()
+                while pos < n and len(oct_digits) < 3 and 0x30 <= data[pos] <= 0x37:
+                    oct_digits.append(data[pos])
+                    pos += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                pos += 1
+                break
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    pos += 1  # '<'
+    end = data.index(b">", pos)
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos:end])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii")), end + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _parse_object(data: bytes, pos: int):
+    """Parse one PDF object at pos. Returns (obj, new_pos)."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise PdfError("unexpected EOF")
+    c = data[pos]
+    if c == 0x2F:  # /name
+        return _parse_name(data, pos)
+    if c == 0x28:  # (string)
+        return _parse_literal_string(data, pos)
+    if c == 0x3C:  # << dict >> or <hex>
+        if data[pos:pos + 2] == b"<<":
+            return _parse_dict(data, pos)
+        return _parse_hex_string(data, pos)
+    if c == 0x5B:  # [ array ]
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if pos < len(data) and data[pos] == 0x5D:
+                return arr, pos + 1
+            obj, pos = _parse_object(data, pos)
+            arr.append(obj)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group(0)
+        end = m.end()
+        # Could be "N G R" indirect reference.
+        if b"." not in tok and not tok.startswith(b"-"):
+            look = _skip_ws(data, end)
+            m2 = _NUM_RE.match(data, look)
+            if m2 and b"." not in m2.group(0):
+                look2 = _skip_ws(data, m2.end())
+                if data.startswith(b"R", look2) and (
+                        look2 + 1 >= len(data)
+                        or data[look2 + 1] in _WS or data[look2 + 1] in _DELIM):
+                    return _Ref(int(tok), int(m2.group(0))), look2 + 1
+        return (float(tok) if b"." in tok else int(tok)), end
+    raise PdfError(f"cannot parse object at byte {pos}")
+
+
+def _parse_dict(data: bytes, pos: int):
+    pos += 2  # '<<'
+    d: dict = {}
+    n = len(data)
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            raise PdfError("unterminated dict")
+        if data.startswith(b">>", pos):
+            pos += 2
+            break
+        key, pos = _parse_name(data, pos)
+        val, pos = _parse_object(data, pos)
+        d[key] = val
+    # stream?
+    look = _skip_ws(data, pos)
+    if data.startswith(b"stream", look):
+        look += 6
+        if data.startswith(b"\r\n", look):
+            look += 2
+        elif look < n and data[look] in b"\r\n":
+            look += 1
+        return _Stream(d, data[look:]), look  # raw sliced lazily by /Length
+    return d, pos
+
+
+# ------------------------------------------------------------- document ---
+
+class _Document:
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF"):
+            raise PdfError("missing %PDF header")
+        self.data = data
+        self._cache: dict[int, object] = {}
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        try:
+            self._load_xref()
+        except Exception:
+            self.offsets = {}
+        if not self.offsets or "Root" not in self.trailer:
+            self._scan_objects()
+        if "Root" not in self.trailer:
+            raise PdfError("no /Root in trailer")
+
+    # -- xref chain
+    def _load_xref(self):
+        data = self.data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("no startxref")
+        pos = int(m.group(1))
+        seen = set()
+        while pos and pos not in seen:
+            seen.add(pos)
+            pos = _skip_ws(data, pos)
+            if not data.startswith(b"xref", pos):
+                raise PdfError("xref stream / bad xref offset")
+            p = pos + 4
+            while True:
+                p = _skip_ws(data, p)
+                if data.startswith(b"trailer", p):
+                    p += 7
+                    tr, p = _parse_object(data, p)
+                    for k, v in tr.items():
+                        self.trailer.setdefault(k, v)
+                    pos = tr.get("Prev", 0)
+                    break
+                m2 = re.match(rb"(\d+)\s+(\d+)", data[p:p + 40])
+                if not m2:
+                    raise PdfError("bad xref subsection")
+                start, count = int(m2.group(1)), int(m2.group(2))
+                p = p + m2.end()
+                entry_re = re.compile(rb"\s*(\d{10})\s+(\d{5})\s*([nf])")
+                for i in range(count):
+                    m3 = entry_re.match(data, p)
+                    if not m3:
+                        raise PdfError("truncated xref entry")
+                    num = start + i
+                    if m3.group(3) == b"n" and num not in self.offsets:
+                        self.offsets[num] = int(m3.group(1))
+                    p = m3.end()
+
+    # -- fallback: brute scan of "N G obj"
+    def _scan_objects(self):
+        for m in re.finditer(rb"(?m)^[^\S\n]*(\d+)\s+(\d+)\s+obj\b", self.data):
+            self.offsets[int(m.group(1))] = m.start(1)
+        if "Root" not in self.trailer:
+            for m in re.finditer(rb"trailer", self.data):
+                try:
+                    tr, _ = _parse_object(self.data, m.end())
+                    if isinstance(tr, dict):
+                        for k, v in tr.items():
+                            self.trailer.setdefault(k, v)
+                except Exception:
+                    continue
+            if "Root" not in self.trailer:
+                # last resort: find the Catalog object directly
+                for num in self.offsets:
+                    try:
+                        obj = self.get(num)
+                    except Exception:
+                        continue
+                    if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                        self.trailer["Root"] = _Ref(num, 0)
+                        break
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            return None
+        data = self.data
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", data[off:off + 64])
+        if not m:
+            raise PdfError(f"object {num} not at recorded offset")
+        obj, _ = _parse_object(data, off + m.end())
+        if isinstance(obj, _Stream):
+            length = self.resolve(obj.dict.get("Length"))
+            if isinstance(length, int) and 0 <= length <= len(obj.raw):
+                raw = obj.raw[:length]
+            else:
+                end = obj.raw.find(b"endstream")
+                raw = obj.raw[:end if end >= 0 else len(obj.raw)]
+            obj = _Stream(obj.dict, raw)
+        self._cache[num] = obj
+        return obj
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, _Ref) and seen < 32:
+            obj = self.get(obj.num)
+            seen += 1
+        return obj
+
+    def stream_data(self, stream: _Stream) -> bytes | None:
+        """Decode a stream; returns None if an unsupported filter is hit."""
+        filters = self.resolve(stream.dict.get("Filter"))
+        if filters is None:
+            flist = []
+        elif isinstance(filters, list):
+            flist = [self.resolve(f) for f in filters]
+        else:
+            flist = [filters]
+        data = stream.raw
+        for f in flist:
+            if f in ("FlateDecode", "Fl"):
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    try:  # tolerate trailing garbage
+                        data = zlib.decompressobj().decompress(data)
+                    except zlib.error:
+                        return None
+                parms = self.resolve(stream.dict.get("DecodeParms"))
+                if isinstance(parms, dict) and self.resolve(parms.get("Predictor"), ) not in (None, 1):
+                    data = _undo_png_predictor(
+                        data,
+                        int(self.resolve(parms.get("Columns")) or 1),
+                        int(self.resolve(parms.get("Colors")) or 1),
+                        int(self.resolve(parms.get("BitsPerComponent")) or 8))
+            elif f in ("ASCIIHexDecode", "AHx"):
+                hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                data = bytes.fromhex(hexs.decode("ascii"))
+            else:
+                return None  # DCTDecode etc. — no text content
+        return data
+
+    def pages(self) -> list[dict]:
+        """Walk the page tree in order, materializing inherited attrs."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("bad /Root")
+        pages_ref = root.get("Pages")
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node_ref, inherited):
+            if isinstance(node_ref, _Ref):
+                if node_ref.num in seen:
+                    return
+                seen.add(node_ref.num)
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            inh = dict(inherited)
+            for k in ("Resources", "MediaBox", "Rotate"):
+                if k in node:
+                    inh[k] = node[k]
+            if node.get("Type") == "Page" or ("Kids" not in node and "Contents" in node):
+                page = dict(inh)
+                page.update(node)
+                out.append(page)
+            else:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid, inh)
+
+        walk(pages_ref, {})
+        if not out:
+            raise PdfError("no pages")
+        return out
+
+
+def _undo_png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 + rowlen <= len(data) + rowlen:
+        if i >= len(data):
+            break
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- fonts ---
+
+class _Font:
+    """Decoder for one font resource: code bytes -> unicode text."""
+
+    def __init__(self, doc: _Document, font_dict: dict):
+        self.two_byte = False
+        self.cmap: dict[int, str] = {}
+        subtype = doc.resolve(font_dict.get("Subtype"))
+        if subtype == "Type0":
+            self.two_byte = True
+            enc = doc.resolve(font_dict.get("Encoding"))
+            if enc in ("Identity-H", "Identity-V"):
+                self.two_byte = True
+        tu = doc.resolve(font_dict.get("ToUnicode"))
+        if isinstance(tu, _Stream):
+            data = doc.stream_data(tu)
+            if data:
+                self._parse_tounicode(data)
+
+    def _parse_tounicode(self, data: bytes):
+        # codespacerange determines code width
+        for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange",
+                             data, re.S):
+            for h in re.finditer(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+                if len(h.group(1)) > 2:
+                    self.two_byte = True
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+            for e in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>",
+                                 m.group(1)):
+                src = int(e.group(1), 16)
+                self.cmap[src] = _utf16_hex(e.group(2))
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+            body = m.group(1)
+            pos = 0
+            rng = re.compile(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<([0-9A-Fa-f]*)>|\[)")
+            while True:
+                e = rng.search(body, pos)
+                if not e:
+                    break
+                lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+                if e.group(3) == b"[":
+                    # array form: [<d1> <d2> ...]
+                    end = body.index(b"]", e.end())
+                    dsts = re.findall(rb"<([0-9A-Fa-f]*)>", body[e.end():end])
+                    for i, d in enumerate(dsts):
+                        if lo + i <= hi:
+                            self.cmap[lo + i] = _utf16_hex(d)
+                    pos = end + 1
+                else:
+                    base = int(e.group(4), 16) if e.group(4) else 0
+                    # only the final code unit increments (spec 9.10.3)
+                    prefix = e.group(4)[:-4] if len(e.group(4)) > 4 else b""
+                    base_unit = int(e.group(4)[-4:], 16) if len(e.group(4)) >= 4 else base
+                    for c in range(lo, hi + 1):
+                        if len(e.group(4)) <= 4:
+                            self.cmap[c] = chr(base + (c - lo))
+                        else:
+                            self.cmap[c] = (_utf16_hex(prefix) +
+                                            chr(base_unit + (c - lo)))
+                    pos = e.end(4)
+
+    def decode(self, raw: bytes) -> str:
+        out = []
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                out.append(self.cmap.get(code, ""))
+        else:
+            for b in raw:
+                out.append(self.cmap.get(b, chr(b) if 32 <= b < 127 or b >= 160 else ""))
+        return "".join(out)
+
+
+def _utf16_hex(h: bytes) -> str:
+    if not h:
+        return ""
+    if len(h) % 4:
+        h = h.rjust((len(h) + 3) // 4 * 4, b"0")
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+# -------------------------------------------------------- content stream ---
+
+_CS_TOKEN = re.compile(rb"""
+    (?P<str>\() | (?P<hex><(?!<)) | (?P<arr>\[|\]) | (?P<dict><<|>>)
+  | (?P<name>/[^\s()<>\[\]{}/%]*)
+  | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+  | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+  | (?P<cmt>%[^\r\n]*)
+""", re.X)
+
+
+def _mat_mul(a, b):
+    """3x3 affine (a,b,c,d,e,f) multiply: result = a · b."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (a0 * b0 + a1 * b2, a0 * b1 + a1 * b3,
+            a2 * b0 + a3 * b2, a2 * b1 + a3 * b3,
+            a4 * b0 + a5 * b2 + b4, a4 * b1 + a5 * b3 + b5)
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+class _Bracket:
+    """Array-delimiter sentinel for the content-stream operand stack
+    (distinct from show-string bytes)."""
+    __slots__ = ("ch",)
+
+    def __init__(self, ch: str):
+        self.ch = ch
+
+
+_LBRACK = _Bracket("[")
+_RBRACK = _Bracket("]")
+
+
+def _page_runs(doc: _Document, page: dict) -> list[tuple[float, float, float, str]]:
+    """Extract positioned text runs (x, y, font_size, text) from one page."""
+    contents = doc.resolve(page.get("Contents"))
+    chunks: list[bytes] = []
+    if isinstance(contents, list):
+        for c in contents:
+            s = doc.resolve(c)
+            if isinstance(s, _Stream):
+                d = doc.stream_data(s)
+                if d:
+                    chunks.append(d)
+    elif isinstance(contents, _Stream):
+        d = doc.stream_data(contents)
+        if d:
+            chunks.append(d)
+    content = b"\n".join(chunks)
+    if not content:
+        return []
+    res = doc.resolve(page.get("Resources")) or {}
+    return _run_content(doc, content, res, _ID, 0)
+
+
+def _run_content(doc: _Document, content: bytes, res: dict,
+                 base_ctm: tuple, depth: int) -> list[tuple[float, float, float, str]]:
+    font_res = doc.resolve(res.get("Font")) or {}
+    xobj_res = doc.resolve(res.get("XObject")) or {}
+    fonts: dict[str, _Font] = {}
+
+    def get_font(name: str) -> _Font | None:
+        if name not in fonts:
+            fd = doc.resolve(font_res.get(name)) if isinstance(font_res, dict) else None
+            fonts[name] = _Font(doc, fd) if isinstance(fd, dict) else _Font(doc, {})
+        return fonts[name]
+
+    runs: list[tuple[float, float, float, str]] = []
+    ctm = base_ctm
+    gs_stack: list[tuple] = []
+    tm = lm = _ID
+    tl = 0.0
+    tc = tw = 0.0
+    th = 1.0
+    font: _Font | None = None
+    fsize = 0.0
+    stack: list = []
+    in_text = False
+
+    def show(raw: bytes):
+        nonlocal tm
+        if not isinstance(raw, bytes) or font is None:
+            return
+        txt = font.decode(raw)
+        m = _mat_mul(tm, ctm)
+        x, y = m[4], m[5]
+        if txt:
+            runs.append((x, y, fsize * abs(m[0]) if m[0] else fsize, txt))
+        # advance ~0.5em per char (display heuristic; widths not parsed)
+        adv = (len(txt) * 0.5 * fsize + len(txt) * tc +
+               txt.count(" ") * tw) * th
+        tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+    def next_line(ty=None):
+        nonlocal tm, lm
+        t = -tl if ty is None else ty
+        lm = _mat_mul((1, 0, 0, 1, 0, t), lm)
+        tm = lm
+
+    pos = 0
+    n = len(content)
+    while pos < n:
+        m = _CS_TOKEN.search(content, pos)
+        if not m:
+            break
+        pos = m.end()
+        if m.group("cmt"):
+            continue
+        if m.group("str"):
+            s, pos = _parse_literal_string(content, m.start())
+            stack.append(s)
+            continue
+        if m.group("hex"):
+            s, pos = _parse_hex_string(content, m.start())
+            stack.append(s)
+            continue
+        if m.group("dict"):
+            if m.group("dict") == b"<<":
+                d, pos = _parse_dict(content, m.start())
+                stack.append(d)
+            continue
+        if m.group("arr"):
+            stack.append(_LBRACK if m.group("arr") == b"[" else _RBRACK)
+            continue
+        if m.group("name"):
+            stack.append(_Name(m.group("name")[1:].decode("latin-1")))
+            continue
+        if m.group("num"):
+            t = m.group("num")
+            stack.append(float(t) if b"." in t else int(t))
+            continue
+        op = m.group("op")
+        try:
+            if op == b"BT":
+                in_text = True
+                tm = lm = _ID
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 2:
+                fsize = float(stack[-1])
+                font = get_font(str(stack[-2]))
+            elif op == b"TL" and stack:
+                tl = float(stack[-1])
+            elif op == b"Tc" and stack:
+                tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                th = float(stack[-1]) / 100.0
+            elif op == b"Td" and len(stack) >= 2:
+                lm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), lm)
+                tm = lm
+            elif op == b"TD" and len(stack) >= 2:
+                tl = -float(stack[-1])
+                lm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), lm)
+                tm = lm
+            elif op == b"Tm" and len(stack) >= 6:
+                tm = lm = tuple(float(v) for v in stack[-6:])
+            elif op == b"T*":
+                next_line()
+            elif op == b"Tj" and stack:
+                show(stack[-1])
+            elif op == b"'" and stack:
+                next_line()
+                show(stack[-1])
+            elif op == b'"' and len(stack) >= 3:
+                tw, tc = float(stack[-3]), float(stack[-2])
+                next_line()
+                show(stack[-1])
+            elif op == b"TJ":
+                # pop back to matching "["
+                items = []
+                while stack:
+                    v = stack.pop()
+                    if v is _LBRACK:
+                        break
+                    if v is _RBRACK:
+                        continue
+                    items.append(v)
+                items.reverse()
+                for it in items:
+                    if isinstance(it, bytes):
+                        show(it)
+                    elif isinstance(it, (int, float)) and in_text:
+                        gap = -float(it) / 1000.0 * fsize * th
+                        tm = _mat_mul((1, 0, 0, 1, gap, 0), tm)
+                        # big negative displacement == inter-word space
+                        if gap > 0.30 * fsize and runs and not runs[-1][3].endswith(" "):
+                            x, y, fs, t = runs[-1]
+                            runs[-1] = (x, y, fs, t + " ")
+                stack.clear()
+                continue
+            elif op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"Do" and stack and depth < 8:
+                xo = doc.resolve(xobj_res.get(str(stack[-1]))) \
+                    if isinstance(xobj_res, dict) else None
+                if isinstance(xo, _Stream) and \
+                        doc.resolve(xo.dict.get("Subtype")) == "Form":
+                    inner = doc.stream_data(xo)
+                    if inner:
+                        ires = doc.resolve(xo.dict.get("Resources")) or res
+                        ictm = ctm
+                        mtx = doc.resolve(xo.dict.get("Matrix"))
+                        if isinstance(mtx, list) and len(mtx) == 6:
+                            ictm = _mat_mul(tuple(float(v) for v in mtx), ctm)
+                        runs.extend(_run_content(doc, inner, ires, ictm,
+                                                 depth + 1))
+        except (TypeError, ValueError, IndexError):
+            pass
+        if op not in (b"TJ",):
+            stack.clear()
+    return runs
+
+
+def _assemble_text(runs: list[tuple[float, float, float, str]]) -> str:
+    """Order runs into lines: y bands top-to-bottom, x left-to-right."""
+    if not runs:
+        return ""
+    # group into baseline bands (tolerance: 40% of median font size)
+    sizes = sorted(r[2] for r in runs if r[2] > 0) or [10.0]
+    tol = max(1.0, 0.4 * sizes[len(sizes) // 2])
+    by_y = sorted(runs, key=lambda r: (-r[1], r[0]))
+    lines: list[list[tuple]] = []
+    cur_y = None
+    for r in by_y:
+        if cur_y is None or abs(r[1] - cur_y) > tol:
+            lines.append([r])
+            cur_y = r[1]
+        else:
+            lines[-1].append(r)
+    out_lines = []
+    for line in lines:
+        line.sort(key=lambda r: r[0])
+        parts = [line[0][3]]
+        for prev, cur in zip(line, line[1:]):
+            gap = cur[0] - (prev[0] + len(prev[3]) * 0.5 * (prev[2] or 10.0))
+            sep = " " if gap > 0.25 * (cur[2] or 10.0) else ""
+            if parts[-1].endswith(" ") or cur[3].startswith(" "):
+                sep = ""
+            parts.append(sep + cur[3])
+        text = "".join(parts).rstrip()
+        out_lines.append(text)
+    return "\n".join(out_lines)
+
+
+def _page_links(doc: _Document, page: dict) -> list[str]:
+    """/Annots -> /A -> /URI, annot order kept, uri-less dropped
+    (semantics of /root/reference/app/services/resume_parser.py:198-222)."""
+    links: list[str] = []
+    annots = doc.resolve(page.get("Annots"))
+    if not isinstance(annots, list):
+        return links
+    for a in annots:
+        ad = doc.resolve(a)
+        if not isinstance(ad, dict):
+            continue
+        action = doc.resolve(ad.get("A"))
+        if isinstance(action, dict):
+            uri = doc.resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                uri = uri.decode("utf-8", "replace")
+            if isinstance(uri, str) and uri:
+                links.append(uri)
+    return links
+
+
+def extract_pdf(data: bytes) -> dict:
+    """Extract text + links from PDF bytes.
+
+    Returns ``{"text": str, "links": list[str], "n_pages": int}``.
+    Pages joined with "\\n\\n". Raises PdfError on structural failure.
+    """
+    doc = _Document(data)
+    pages = doc.pages()
+    page_texts = []
+    links: list[str] = []
+    for page in pages:
+        try:
+            page_texts.append(_assemble_text(_page_runs(doc, page)))
+        except PdfError:
+            page_texts.append("")
+        links.extend(_page_links(doc, page))
+    return {"text": "\n\n".join(page_texts), "links": links,
+            "n_pages": len(pages)}
