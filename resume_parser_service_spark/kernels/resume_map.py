@@ -1,0 +1,438 @@
+"""Deterministic resume text -> structured resume mapping.
+
+Replaces the reference's LLM "combine" step
+(/root/reference/app/services/resume_parser.py:243-296) with a
+rule-based section segmenter + field mapper. The output schema mirrors
+/root/reference/app/schemas/resume.py:6-141 (field names/order as the
+prompt schema /root/reference/app/services/prompt.py:44-155), and the
+prompt's routing rules are implemented verbatim
+(/root/reference/app/services/prompt.py:16-20,178-182):
+diplomas/degrees -> education_details, scholarships/awards ->
+achievements, workshops/seminars -> projects.
+
+``resume_to_text`` reproduces the flattening semantics of
+``ResumeBase.to_text`` (/root/reference/app/schemas/resume.py:143-292)
+— section order, line formats, and separators — because it defines the
+embedding input and is a golden-text artifact.
+
+All values stay strings (dates included) — byte-identity requirement
+(SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
+
+KERNEL_VERSION = "map-1.0.0"
+
+_SECTION_HEADERS = {
+    "education": "education",
+    "experience": "experience",
+    "work experience": "experience",
+    "employment": "experience",
+    "projects": "projects",
+    "achievements": "achievements",
+    "awards": "achievements",
+    "certifications": "certifications",
+    "languages": "languages",
+    "interests": "interests",
+    "skills": "skills",
+    "summary": "summary",
+}
+
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PHONE_RE = re.compile(r"(\+\d{1,3})?[ .]?(\(?\d{2,4}\)?[ .-]?\d{3}[ .-]?\d{3,6})")
+_URL_RE = re.compile(r"https?://[^\s)>\]]+")
+_YEAR_RANGE_RE = re.compile(r"^(\d{4})\s*[-–—]\s*(\d{4}|Present|present|Ongoing)$")
+_PERIOD_RE = re.compile(
+    r"^((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{4}|\d{4})"
+    r"\s*[-–—]\s*"
+    r"((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{4}|\d{4}|Present|present)$")
+_LOCATION_RE = re.compile(r"^([A-Z][A-Za-z .'-]+),\s*([A-Z][A-Za-z .'-]+)$")
+
+
+def empty_resume() -> dict:
+    """All-null resume dict in canonical field order."""
+    return {
+        "personal_information": None,
+        "education_details": None,
+        "experience_details": None,
+        "projects": None,
+        "achievements": None,
+        "certifications": None,
+        "languages": None,
+        "interests": None,
+        "availability": None,
+        "salary_expectations": None,
+        "self_identification": None,
+        "legal_authorization": None,
+        "work_preferences": None,
+    }
+
+
+def _split_sections(text: str) -> list[tuple[str, list[str]]]:
+    """Split text into (section_kind, lines) in document order; leading
+    unlabeled lines form the ("head", ...) section."""
+    sections: list[tuple[str, list[str]]] = [("head", [])]
+    for line in text.split("\n"):
+        key = _SECTION_HEADERS.get(line.strip().rstrip(":").lower())
+        if key and line.strip() == line.strip().rstrip(":") + "" and (
+                line.strip().isupper() or line.strip().istitle()
+                or line.strip().rstrip(":").isupper()):
+            sections.append((key, []))
+        else:
+            sections[-1][1].append(line)
+    return sections
+
+
+def _groups(lines: list[str]) -> list[list[str]]:
+    """Blank-line-separated groups of stripped, non-empty lines."""
+    out: list[list[str]] = []
+    cur: list[str] = []
+    for ln in lines:
+        s = ln.strip()
+        if not s:
+            if cur:
+                out.append(cur)
+                cur = []
+        else:
+            cur.append(s)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _personal(lines: list[str], links: list[str]) -> dict | None:
+    pi = {"name": None, "surname": None, "date_of_birth": None,
+          "country": None, "city": None, "address": None, "zip_code": None,
+          "phone_prefix": None, "phone": None, "email": None,
+          "github": None, "linkedin": None}
+    body = "\n".join(lines)
+    stripped = [l.strip() for l in lines if l.strip()]
+    if stripped:
+        first = stripped[0]
+        if ("@" not in first and not _URL_RE.search(first)
+                and len(first.split()) <= 5):
+            toks = first.split()
+            pi["name"] = toks[0]
+            if len(toks) > 1:
+                pi["surname"] = " ".join(toks[1:])
+    for l in stripped[1:]:
+        m = _LOCATION_RE.match(re.sub(r"\s*(Email|Phone|E-mail):.*", "", l))
+        if m and pi["city"] is None:
+            pi["city"], pi["country"] = m.group(1), m.group(2)
+    m = _EMAIL_RE.search(body)
+    if m:
+        pi["email"] = m.group(0)
+    pm = re.search(r"(?:Phone|Tel|Mobile)\s*:?\s*(\+\d{1,3})?\s*([\d][\d ().-]{6,})",
+                   body)
+    if pm:
+        pi["phone_prefix"] = pm.group(1)
+        pi["phone"] = pm.group(2).strip()
+    dm = re.search(r"(?:Date of [Bb]irth|DOB)\s*:?\s*([0-9/.-]{6,10})", body)
+    if dm:
+        pi["date_of_birth"] = dm.group(1)
+    for url in links + _URL_RE.findall(body):
+        if "github.com" in url and pi["github"] is None:
+            pi["github"] = url
+        elif "linkedin.com" in url and pi["linkedin"] is None:
+            pi["linkedin"] = url
+    if all(v is None for v in pi.values()):
+        return None
+    return pi
+
+
+def _education_group(g: list[str]) -> dict:
+    edu = {"education_level": None, "institution": None,
+           "field_of_study": None, "final_evaluation_grade": None,
+           "start_date": None, "year_of_completion": None, "exam": None}
+    exam: dict[str, str] = {}
+    rest: list[str] = []
+    for ln in g:
+        m = _YEAR_RANGE_RE.match(ln)
+        if m:
+            edu["start_date"] = m.group(1)
+            edu["year_of_completion"] = m.group(2)
+            continue
+        gm = re.match(r"^(?:Grade|GPA|Final grade)\s*:\s*(.+)$", ln, re.I)
+        if gm:
+            edu["final_evaluation_grade"] = gm.group(1)
+            continue
+        em = re.match(r"^Exam\s+(.+?)\s*:\s*(.+)$", ln)
+        if em:
+            exam[em.group(1)] = em.group(2)
+            continue
+        im = re.match(r"^(.+?)\s+in\s+(.+)$", ln)
+        if im and edu["education_level"] is None and im.group(1) in (
+                "Bachelor", "Master", "PhD", "Bachelor's Degree",
+                "Master's Degree", "Diploma", "Doctorate", "MBA", "BSc",
+                "MSc", "High School Diploma"):
+            edu["education_level"] = im.group(1)
+            edu["field_of_study"] = im.group(2)
+            continue
+        rest.append(ln)
+    if rest and edu["institution"] is None:
+        edu["institution"] = rest[0]
+    if exam:
+        edu["exam"] = exam
+    return edu
+
+
+def _experience_group(g: list[str]) -> dict:
+    exp = {"position": None, "company": None, "employment_period": None,
+           "location": None, "industry": None,
+           "key_responsibilities": None, "skills_acquired": None}
+    resp: list[str] = []
+    for i, ln in enumerate(g):
+        if i == 0:
+            m = re.match(r"^(.+?)\s+at\s+(.+)$", ln)
+            if m:
+                exp["position"], exp["company"] = m.group(1), m.group(2)
+            else:
+                m2 = re.match(r"^(.+?)\s*[—|]\s*(.+)$", ln)
+                if m2:
+                    exp["position"], exp["company"] = m2.group(1), m2.group(2)
+                else:
+                    exp["position"] = ln
+            continue
+        if _PERIOD_RE.match(ln):
+            exp["employment_period"] = ln
+            continue
+        sm = re.match(r"^Skills\s*:\s*(.+)$", ln, re.I)
+        if sm:
+            exp["skills_acquired"] = [s.strip() for s in sm.group(1).split(",")
+                                      if s.strip()]
+            continue
+        im = re.match(r"^Industry\s*:\s*(.+)$", ln, re.I)
+        if im:
+            exp["industry"] = im.group(1)
+            continue
+        if ln.startswith("- "):
+            resp.append(ln[2:])
+            continue
+        lm = _LOCATION_RE.match(ln)
+        if lm and exp["location"] is None:
+            exp["location"] = ln
+            continue
+    if resp:
+        exp["key_responsibilities"] = resp
+    return exp
+
+
+def _project_group(g: list[str]) -> dict:
+    proj = {"name": None, "description": None, "link": None}
+    for i, ln in enumerate(g):
+        lm = re.match(r"^Link\s*:\s*(\S+)$", ln, re.I)
+        if lm:
+            proj["link"] = lm.group(1)
+            continue
+        if i == 0:
+            m = re.match(r"^(.+?)\s*:\s*(.+)$", ln)
+            if m:
+                proj["name"], proj["description"] = m.group(1), m.group(2)
+            else:
+                proj["name"] = ln
+        elif proj["description"] is None:
+            proj["description"] = ln
+    return proj
+
+
+def _named_desc_group(g: list[str]) -> dict:
+    m = re.match(r"^(.+?)\s*:\s*(.+)$", g[0])
+    if m:
+        return {"name": m.group(1), "description": m.group(2)}
+    return {"name": g[0],
+            "description": " ".join(g[1:]) if len(g) > 1 else None}
+
+
+def map_resume(text: str, links: list[str] | None = None) -> dict:
+    """Map extracted plain text (+ hyperlink list) into the resume dict."""
+    links = links or []
+    out = empty_resume()
+    if not text:
+        return out
+    education: list[dict] = []
+    experience: list[dict] = []
+    projects: list[dict] = []
+    achievements: list[dict] = []
+    certifications: list[dict] = []
+    languages: list[dict] = []
+    interests: list[str] = []
+
+    for kind, lines in _split_sections(text):
+        if kind == "head":
+            out["personal_information"] = _personal(lines, links)
+        elif kind == "education":
+            for g in _groups(lines):
+                head = g[0].lower()
+                # routing rules (prompt.py:16-20)
+                if "scholarship" in head or "award" in head:
+                    achievements.append(_named_desc_group(g))
+                elif "workshop" in head or "seminar" in head:
+                    projects.append(_project_group(g))
+                else:
+                    education.append(_education_group(g))
+        elif kind == "experience":
+            for g in _groups(lines):
+                experience.append(_experience_group(g))
+        elif kind == "projects":
+            for g in _groups(lines):
+                projects.append(_project_group(g))
+        elif kind == "achievements":
+            for g in _groups(lines):
+                achievements.append(_named_desc_group(g))
+        elif kind == "certifications":
+            for g in _groups(lines):
+                certifications.append(_named_desc_group(g))
+        elif kind == "languages":
+            for g in _groups(lines):
+                for ln in g:
+                    m = (re.match(r"^(.+?)\s*[:—-]\s*(.+)$", ln)
+                         or re.match(r"^(.+?)\s*\((.+)\)$", ln))
+                    if m:
+                        languages.append({"language": m.group(1).strip(),
+                                          "proficiency": m.group(2).strip()})
+                    else:
+                        languages.append({"language": ln, "proficiency": None})
+        elif kind == "interests":
+            for g in _groups(lines):
+                for ln in g:
+                    if ln.startswith("- "):
+                        interests.append(ln[2:])
+                    else:
+                        interests.extend(s.strip() for s in ln.split(",")
+                                         if s.strip())
+
+    if education:
+        out["education_details"] = education
+    if experience:
+        out["experience_details"] = experience
+    if projects:
+        out["projects"] = projects
+    if achievements:
+        out["achievements"] = achievements
+    if certifications:
+        out["certifications"] = certifications
+    if languages:
+        out["languages"] = languages
+    if interests:
+        out["interests"] = interests
+    return out
+
+
+# ------------------------------------------------------------- to_text ---
+
+def _kv(parts: list[str], label: str, val) -> None:
+    if val:
+        parts.append(f"{label}: {val}")
+
+
+def resume_to_text(r: dict) -> str:
+    """Flatten a resume dict to text — same section order, line formats,
+    and separators as ``ResumeBase.to_text``
+    (/root/reference/app/schemas/resume.py:143-292)."""
+    sections: list[str] = []
+
+    pi = r.get("personal_information")
+    if pi:
+        parts: list[str] = []
+        _kv(parts, "Name", pi.get("name"))
+        _kv(parts, "Surname", pi.get("surname"))
+        _kv(parts, "Country", pi.get("country"))
+        _kv(parts, "City", pi.get("city"))
+        if parts:
+            sections.append("Personal Information:\n" + "\n".join(parts))
+
+    if r.get("education_details"):
+        subs = []
+        for e in r["education_details"]:
+            parts = []
+            _kv(parts, "Level", e.get("education_level"))
+            _kv(parts, "Institution", e.get("institution"))
+            _kv(parts, "Field", e.get("field_of_study"))
+            _kv(parts, "Grade", e.get("final_evaluation_grade"))
+            _kv(parts, "Started", e.get("start_date"))
+            _kv(parts, "Completed", e.get("year_of_completion"))
+            if parts:
+                subs.append("\n".join(parts))
+        if subs:
+            sections.append("Education:\n" + "\n\n".join(subs))
+
+    if r.get("experience_details"):
+        subs = []
+        for e in r["experience_details"]:
+            parts = []
+            _kv(parts, "Position", e.get("position"))
+            _kv(parts, "Company", e.get("company"))
+            _kv(parts, "Period", e.get("employment_period"))
+            _kv(parts, "Location", e.get("location"))
+            _kv(parts, "Industry", e.get("industry"))
+            if e.get("key_responsibilities"):
+                parts.append("Key Responsibilities:\n- " +
+                             "\n- ".join(e["key_responsibilities"]))
+            if e.get("skills_acquired"):
+                parts.append("Skills Acquired:\n- " +
+                             "\n- ".join(e["skills_acquired"]))
+            if parts:
+                subs.append("\n".join(parts))
+        if subs:
+            sections.append("Experience:\n" + "\n\n".join(subs))
+
+    if r.get("projects"):
+        subs = []
+        for p in r["projects"]:
+            parts = []
+            _kv(parts, "Name", p.get("name"))
+            _kv(parts, "Description", p.get("description"))
+            _kv(parts, "Link", p.get("link"))
+            if parts:
+                subs.append("\n".join(parts))
+        if subs:
+            sections.append("Projects:\n" + "\n\n".join(subs))
+
+    for key, title in (("achievements", "Achievements"),
+                       ("certifications", "Certifications")):
+        if r.get(key):
+            subs = []
+            for a in r[key]:
+                parts = []
+                _kv(parts, "Name", a.get("name"))
+                _kv(parts, "Description", a.get("description"))
+                if parts:
+                    subs.append("\n".join(parts))
+            if subs:
+                sections.append(f"{title}:\n" + "\n\n".join(subs))
+
+    if r.get("languages"):
+        parts = [f"{l.get('language')}: {l.get('proficiency')}"
+                 for l in r["languages"]
+                 if l.get("language") and l.get("proficiency")]
+        if parts:
+            sections.append("Languages:\n" + "\n".join(parts))
+
+    if r.get("interests"):
+        sections.append("Interests:\n- " + "\n- ".join(r["interests"]))
+
+    wp = r.get("work_preferences")
+    if wp:
+        parts = []
+        _kv(parts, "Remote Work", wp.get("remote_work"))
+        _kv(parts, "In-Person Work", wp.get("in_person_work"))
+        _kv(parts, "Open to Relocation", wp.get("open_to_relocation"))
+        if parts:
+            sections.append("Work Preferences:\n" + "\n".join(parts))
+
+    la = r.get("legal_authorization")
+    if la:
+        parts = []
+        _kv(parts, "US Work Authorization", la.get("us_work_authorization"))
+        _kv(parts, "EU Work Authorization", la.get("eu_work_authorization"))
+        _kv(parts, "UK Work Authorization", la.get("uk_work_authorization"))
+        _kv(parts, "Canada Work Authorization",
+            la.get("canada_work_authorization"))
+        if parts:
+            sections.append("Legal Authorization:\n" + "\n".join(parts))
+
+    return "\n\n".join(sections)
