@@ -1,0 +1,81 @@
+"""End-to-end resumable extraction job.
+
+Batch equivalent of the reference's full service lifecycle (SURVEY.md
+§3.1): scan -> dedup -> validate -> salted repartition -> kernel ->
+commit extracted + audit snapshots, resuming idempotently from the last
+committed snapshot (anti-join on processed urls). The audit table is
+the structured-event-log replacement
+(/root/reference/app/core/logging_config.py:90-96 ->
+``extraction_audit`` rows per (run_id, partition_id, url), SURVEY.md C3)
+and doubles as the processed-url checkpoint: ok, error AND rejected rows
+all appear there, so a resumed run re-touches nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .extract import dedup_latest, extract_pages, validate_pages
+from .writer import SnapshotTable
+
+__all__ = ["run_extraction_job"]
+
+
+def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
+                       salt_partitions: int | None = None) -> dict:
+    """Run (or resume) extraction of ``pages`` into tables under
+    ``out_root``: ``resumes_extracted`` + ``extraction_audit``.
+    Re-running with the same input is a no-op (idempotent resume)."""
+    extracted_tbl = SnapshotTable(os.path.join(out_root, "resumes_extracted"))
+    audit_tbl = SnapshotTable(os.path.join(out_root, "extraction_audit"))
+    run_id = uuid.uuid4().hex[:12]
+
+    # resume point: urls already processed (ok, error or rejected)
+    todo = audit_tbl.resume_filter(spark, dedup_latest(pages))
+
+    extracted, rejected = extract_pages(todo, salt_partitions=salt_partitions,
+                                        dedup=False)
+    # One materialization of the kernel output; everything below reuses it.
+    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_extracted = extracted.count()
+        n_rejected = rejected.count()
+        if n_extracted == 0 and n_rejected == 0:
+            return {"run_id": run_id, "extracted": 0, "rejected": 0,
+                    "snapshot_id": None, "resumed_noop": True}
+
+        snapshot_id = extracted_tbl.commit(
+            extracted.filter(F.col("status") == "ok"))
+
+        audit = extracted.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.spark_partition_id().alias("partition_id"),
+            "url", "doc_type", "status", "error_class",
+            "n_pages", "n_chars", "n_links", "extract_ms", "kernel_version",
+            F.current_timestamp().alias("committed_at"))
+        rej_audit = rejected.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.spark_partition_id().alias("partition_id"),
+            "url", "doc_type", "status", "error_class",
+            F.lit(None).cast("int").alias("n_pages"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit(None).cast("int").alias("n_links"),
+            F.lit(None).cast("double").alias("extract_ms"),
+            F.lit(None).cast("string").alias("kernel_version"),
+            F.current_timestamp().alias("committed_at"))
+        audit_tbl.commit(audit.unionByName(rej_audit))
+
+        return {"run_id": run_id, "extracted": n_extracted,
+                "rejected": n_rejected, "snapshot_id": snapshot_id,
+                "resumed_noop": False}
+    finally:
+        extracted.unpersist()
+        rejected.unpersist()
