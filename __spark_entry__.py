@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction dataflow (HTML-wrap ->
+boilerplate-strip kernel -> byte-identity + metrics rollup) over the
+sf0.001 ``documents`` table. ``queries``/``oracle_sql`` expose the
+operator catalog (SURVEY.md §2D + training-data ops) checked against
+DuckDB at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +12,46 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_parser_service_spark.operators.catalog import (build_catalog,
+                                                           register_views)
+from resume_parser_service_spark.operators.extract_queries import (
+    extract_oracles, extract_queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap sf0.001 documents in HTML boilerplate, run the
+    main-content extraction kernel, verify byte-identity per doc, and
+    roll up per-lang extraction metrics."""
+    sf_dir = "/root/testdata/sf0.001"
+    from resume_parser_service_spark.operators.extract_queries import (
+        _q_extract_html_identity)
+    register_views(spark, sf_dir)
+    extracted = _q_extract_html_identity(spark, sf_dir)
+    docs = spark.table("documents")
+    joined = extracted.join(docs, "doc_id")
+    return (joined
+            .withColumn("byte_identical",
+                        (F.col("extracted") == F.col("text")).cast("int"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("byte_identical").alias("n_byte_identical"),
+                 F.sum(F.length("extracted")).alias("extracted_chars"))
+            .orderBy("lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out = {name: fn for name, (fn, _oracle) in build_catalog().items()}
+    out.update(extract_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL kernels ->
+    driver records a rows-only check)."""
+    out = {name: oracle for name, (_fn, oracle) in build_catalog().items()
+           if oracle is not None}
+    out.update(extract_oracles())
+    return out

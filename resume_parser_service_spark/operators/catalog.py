@@ -1,0 +1,642 @@
+"""Operator/query catalog — the driver correctness contract.
+
+One entry per operator from SURVEY.md §2D plus the training-data-pipeline
+operators (dedup / similarity / text analysis / multimodal). Each entry
+carries a Spark implementation (shared-ANSI SQL over temp views, a
+dialect-split SQL pair, or a DataFrame/kernel function) and, where
+SQL-expressible, a DuckDB oracle string the driver runs side-by-side.
+
+Portability rules used throughout (verified on pyspark 4.1.2 / duckdb
+1.0.0):
+- tokenization: ``split(text, ' ')`` (Spark) == ``string_split(text,' ')``
+  (DuckDB) on the single-spaced corpus;
+- portable 60-bit hash: ``conv(substring(md5(s),1,15),16,10)`` (Spark)
+  == ``cast(concat('0x', substr(md5(s),1,15)) as bigint)`` (DuckDB);
+- money aggregates go through DECIMAL(18,2) so double summation order
+  cannot flip the value-hash; row-level double arithmetic is identical
+  IEEE ops on both engines and stays double.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+_REGISTERED: dict[int, str] = {}  # id(spark) -> sf_dir registered
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata parquet tables as temp views (idempotent)."""
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+    _REGISTERED[key] = sf_dir
+
+
+def _sql(spark_sql: str, duck_sql: str | None = None):
+    """Catalog entry from SQL text. ``duck_sql`` defaults to the same
+    string (shared ANSI)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+    return run, (duck_sql if duck_sql is not None else spark_sql)
+
+
+# --------------------------------------------------------------------------
+# Portable hash helpers (emit dialect-specific SQL for the same value).
+# --------------------------------------------------------------------------
+
+def _hash60(expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+
+
+def _tokens(expr: str, dialect: str) -> str:
+    return (f"split({expr}, ' ')" if dialect == "spark"
+            else f"string_split({expr}, ' ')")
+
+
+def _minhash_sql(dialect: str, n_hashes: int = 4) -> str:
+    """Per-doc MinHash signature: for seed s, min over distinct tokens of
+    hash60(concat(seed,'#',token))."""
+    mins = ",\n  ".join(
+        "min({h}) AS mh{i}".format(
+            h=_hash60("concat('s%d#', tok)" % i, dialect), i=i)
+        for i in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {'explode' if dialect == 'spark' else 'unnest'}({_tokens('text', dialect)}) AS tok
+  FROM documents
+),
+dtoks AS (SELECT DISTINCT doc_id, tok FROM toks)
+SELECT doc_id,
+  {mins}
+FROM dtoks GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _simhash_sql(dialect: str, bits: int = 16) -> str:
+    """16-bit SimHash over token hash60 bits (sign-summed, >0 -> 1)."""
+    h = _hash60("tok", dialect)
+    if dialect == "spark":
+        bit = "CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END"
+    else:
+        bit = "CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END"
+    sums = ", ".join(f"sum({bit.format(i=i)}) AS b{i}" for i in range(bits))
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {'explode' if dialect == 'spark' else 'unnest'}({_tokens('text', dialect)}) AS tok
+  FROM documents
+),
+hashed AS (SELECT DISTINCT doc_id, {h} AS h FROM toks),
+bitsums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, cast({recombine} as bigint) AS simhash
+FROM bitsums ORDER BY doc_id
+"""
+
+
+def _shingle_sql(dialect: str) -> str:
+    """5-word shingle fingerprints per doc (n-gram dedup primitive)."""
+    toks = _tokens("text", dialect)
+    if dialect == "spark":
+        pos = f"posexplode({toks}) AS (pos, tok)"
+        shingle = ("SELECT doc_id, pos, tok FROM documents "
+                   f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
+    else:
+        shingle = ("SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
+                   "unnest(toks) AS tok FROM (SELECT doc_id, "
+                   f"{toks} AS toks FROM documents)")
+    return f"""
+WITH postoks AS ({shingle}),
+sh AS (
+  SELECT a.doc_id, a.pos,
+         concat(a.tok, ' ', b.tok, ' ', c.tok, ' ', d.tok, ' ', e.tok) AS shingle
+  FROM postoks a
+  JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+)
+SELECT doc_id, count(DISTINCT shingle) AS n_shingles,
+       min({_hash60('shingle', dialect)}) AS min_shingle_hash
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _ngram_jaccard_sql(dialect: str) -> str:
+    """Candidate near-dup pairs: docs sharing >=1 identical 5-word
+    shingle, with shared-shingle counts + Jaccard over shingle sets
+    (MinHash/LSH's exact verification step)."""
+    base = _shingle_sql(dialect)
+    # reuse the shingle CTE body
+    toks = _tokens("text", dialect)
+    if dialect == "spark":
+        shingle = ("SELECT doc_id, pos, tok FROM documents "
+                   f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
+    else:
+        shingle = ("SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
+                   "unnest(toks) AS tok FROM (SELECT doc_id, "
+                   f"{toks} AS toks FROM documents)")
+    return f"""
+WITH postoks AS ({shingle}),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         concat(a.tok, ' ', b.tok, ' ', c.tok, ' ', d.tok, ' ', e.tok) AS shingle
+  FROM postoks a
+  JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       round(cast(s.n_shared as double) /
+             (sa.n + sb.n - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+ORDER BY s.doc_a, s.doc_b
+"""
+
+
+def _vec_expand(dialect: str) -> str:
+    """Expand embeddings to (vec_id, i, v-double) rows — the shared
+    zero-indexed element view both dialects build cosine math on."""
+    if dialect == "spark":
+        return ("SELECT vec_id, pos AS i, cast(col as double) AS v "
+                "FROM (SELECT vec_id, posexplode(embedding) FROM embeddings)")
+    return ("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+            "cast(unnest(embedding) as double) AS v FROM embeddings")
+
+
+def _cosine_pairs_sql(dialect: str, threshold: float = 0.92) -> str:
+    """Embedding near-dup pairs by cosine similarity (brute-force over
+    the self-join; the scale path is the LSH-bucketed variant). Math is
+    done on double-cast elements so both engines agree bit-for-bit
+    within the 4-decimal rounding."""
+    return f"""
+WITH e AS ({_vec_expand(dialect)}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, sum(x.v * y.v) AS dot
+  FROM e x JOIN e y ON x.i = y.i AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+)
+SELECT d.vec_a, d.vec_b,
+       round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 4) > {threshold}
+ORDER BY d.vec_a, d.vec_b
+"""
+
+
+def _ann_topk_sql(dialect: str, k: int = 5, n_queries: int = 3) -> str:
+    """Brute-force cosine top-k neighbors for the first ``n_queries``
+    vectors (the ANN baseline; ann_lsh_buckets is the scale path)."""
+    return f"""
+WITH e AS ({_vec_expand(dialect)}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id < {n_queries}),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
+  FROM q JOIN e ON q.i = e.i AND q.vec_id <> e.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+def _lsh_bucket_sql(dialect: str, n_planes: int = 8) -> str:
+    """Random-hyperplane LSH bucketing over embeddings — the ANN scale
+    path: bucket = sign pattern of dot(v, plane_p); plane components are
+    hash-derived ((hash60(p#i) % 1001) - 500), so both engines see
+    identical planes with no stored randomness."""
+    cast_s = "string" if dialect == "spark" else "varchar"
+    h = _hash60(f"concat(cast(p as {cast_s}), '#', cast(i as {cast_s}))",
+                dialect)
+    planes = (f"SELECT explode(sequence(0, {n_planes - 1})) AS p"
+              if dialect == "spark"
+              else f"SELECT unnest(range(0, {n_planes})) AS p")
+    signs = " + ".join(
+        f"(CASE WHEN max(CASE WHEN p = {i} THEN dot END) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    return f"""
+WITH e AS ({_vec_expand(dialect)}),
+planes AS ({planes}),
+dots AS (
+  SELECT e.vec_id, planes.p, sum(e.v * ({h} % 1001 - 500)) AS dot
+  FROM e CROSS JOIN planes
+  GROUP BY e.vec_id, planes.p
+)
+SELECT vec_id, cast({signs} as bigint) AS bucket
+FROM dots GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# The catalog. name -> (spark_callable, duck_oracle_sql_or_None)
+# --------------------------------------------------------------------------
+
+def build_catalog() -> dict[str, tuple[Callable, str | None]]:
+    c: dict[str, tuple[Callable, str | None]] = {}
+
+    # --- scan / filter / projection (A1, B1, B2) ---
+    c["scan_filter_project"] = _sql("""
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 200
+ORDER BY doc_id""")
+
+    c["point_lookup"] = _sql("""
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""")
+
+    # --- aggregation: partial+final hash agg (TPC-H Q1 shape) ---
+    c["pricing_summary"] = _sql("""
+SELECT l_returnflag, l_linestatus,
+       round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2)
+         AS sum_qty,
+       round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2)
+         AS sum_base_price,
+       round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+           cast(1 - l_discount as decimal(18,2))) as double), 2)
+         AS sum_disc_price,
+       round(cast(avg(cast(l_quantity as decimal(18,2))) as double), 4)
+         AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")
+
+    # --- joins ---
+    c["join_revenue_by_nation"] = _sql("""
+SELECT n.n_name AS nation,
+       round(cast(sum(cast(l.l_extendedprice as decimal(18,2)) *
+           cast(1 - l.l_discount as decimal(18,2))) as double), 2) AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation""")
+
+    c["broadcast_dim_join"] = _sql("""
+SELECT r.r_name AS region, count(*) AS n_customers,
+       round(cast(sum(cast(c.c_acctbal as decimal(18,2))) as double), 2)
+         AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name""")
+
+    c["semi_join_exists"] = _sql("""
+SELECT c_mktsegment, count(*) AS n_with_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+
+    c["anti_join_missing"] = _sql("""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey""")
+
+    # --- sort / limit / top-k ---
+    c["topk_largest_docs"] = _sql("""
+SELECT doc_id, source, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10""")
+
+    # --- window functions ---
+    c["window_rank_per_source"] = _sql("""
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 3 ORDER BY source, rk""")
+
+    c["window_lag_delta"] = _sql("""
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 6) AS delta
+FROM events ORDER BY event_id""")
+
+    c["window_sliding_frame"] = _sql("""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sliding_sum
+FROM events ORDER BY event_id""")
+
+    c["dedup_latest_event"] = _sql("""
+SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id""")
+
+    c["sessionize_events"] = _sql("""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN unix_timestamp(cast(ts as timestamp)) -
+                   unix_timestamp(cast(lag(ts) OVER w as timestamp)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no""",
+        duck_sql="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no""")
+
+    # --- set operations / distinct ---
+    c["set_union"] = _sql("""
+SELECT doc_id FROM documents WHERE lang = 'en'
+UNION
+SELECT doc_id FROM documents WHERE n_chars > 400
+ORDER BY doc_id""")
+
+    c["set_intersect"] = _sql("""
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE n_chars > 300
+ORDER BY doc_id""")
+
+    c["set_except"] = _sql("""
+SELECT doc_id FROM documents WHERE n_chars > 300
+EXCEPT
+SELECT doc_id FROM documents WHERE lang = 'en'
+ORDER BY doc_id""")
+
+    c["distinct_langs"] = _sql("""
+SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""")
+
+    # --- rollup / cube / grouping sets ---
+    c["rollup_metrics"] = _sql("""
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST""")
+
+    c["cube_event_counts"] = _sql("""
+SELECT event_type,
+       cast(cast(date_trunc('day', ts) as date) as string) AS day,
+       count(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, cast(cast(date_trunc('day', ts) as date) as string))
+ORDER BY event_type NULLS FIRST, day NULLS FIRST""")
+
+    # --- string functions (A7' mapper building blocks) ---
+    c["string_funcs"] = _sql("""
+SELECT doc_id,
+       length(text) AS text_len,
+       upper(substring(text, 1, 8)) AS head_upper,
+       trim(concat_ws('|', lang, source)) AS lang_source,
+       replace(substring(text, 1, 20), ' ', '_') AS head_snake
+FROM documents ORDER BY doc_id""")
+
+    c["regexp_extract_first_word"] = _sql("""
+SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word
+FROM documents ORDER BY doc_id""",
+        duck_sql="""
+SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word
+FROM documents ORDER BY doc_id""")
+
+    # --- date/time functions ---
+    c["date_funcs"] = _sql("""
+SELECT cast(cast(date_trunc('day', ts) as date) as string) AS day,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY cast(cast(date_trunc('day', ts) as date) as string)
+ORDER BY day""")
+
+    c["hour_histogram"] = _sql("""
+SELECT hour(ts) AS hr, count(*) AS n FROM events
+GROUP BY hour(ts) ORDER BY hr""",
+        duck_sql="""
+SELECT hour(ts) AS hr, count(*) AS n FROM events
+GROUP BY hour(ts) ORDER BY hr""")
+
+    # --- math functions ---
+    c["math_funcs"] = _sql("""
+SELECT o_orderkey,
+       round(o_totalprice, 1) AS rounded_price,
+       round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
+       mod(o_orderkey, 7) AS key_mod
+FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
+
+    # --- array functions ---
+    c["array_token_stats"] = _sql("""
+SELECT doc_id,
+       size(split(text, ' ')) AS n_tokens,
+       size(array_distinct(split(text, ' '))) AS n_unique_tokens
+FROM documents ORDER BY doc_id""",
+        duck_sql="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents ORDER BY doc_id""")
+
+    c["explode_top_tokens"] = _sql("""
+SELECT tok, count(*) AS n FROM (
+  SELECT explode(split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+        duck_sql="""
+SELECT tok, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")
+
+    c["higher_order_array"] = _sql("""
+SELECT doc_id,
+       size(filter(split(text, ' '), x -> length(x) > 5)) AS n_long_tokens,
+       aggregate(transform(split(text, ' '), x -> length(x)), 0,
+                 (acc, v) -> acc + v) AS total_token_chars
+FROM documents ORDER BY doc_id""",
+        duck_sql="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       x -> length(x) > 5)) AS n_long_tokens,
+       cast(list_sum(list_transform(string_split(text, ' '),
+                     x -> length(x))) as int) AS total_token_chars
+FROM documents ORDER BY doc_id""")
+
+    # --- json functions (events.props; A8 defensive ingest) ---
+    c["json_extract_props"] = _sql("""
+SELECT event_type,
+       sum(cast(get_json_object(props, '$.k') as bigint)) AS k_sum,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+        duck_sql="""
+SELECT event_type,
+       sum(cast(json_extract_string(props, '$.k') as bigint)) AS k_sum,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""")
+
+    # --- pagination (B3) ---
+    c["paginated_scan"] = _sql("""
+SELECT doc_id, source, n_chars FROM documents
+ORDER BY doc_id LIMIT 50 OFFSET 100""")
+
+    # --- counts (B9) ---
+    c["filtered_count"] = _sql("""
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources
+FROM documents WHERE n_chars > 100 GROUP BY lang ORDER BY lang""")
+
+    # ---------------------------------------------------------------
+    # Training-data pipeline operators
+    # ---------------------------------------------------------------
+
+    # exact dedup (hash-groupBy)
+    c["dedup_exact"] = _sql("""
+SELECT md5(text) AS fingerprint, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+HAVING count(*) >= 1
+ORDER BY keeper_doc_id""")
+
+    # document fingerprinting (normalized hash)
+    c["doc_fingerprint"] = _sql("""
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+FROM documents ORDER BY doc_id""")
+
+    # MinHash signatures
+    c["minhash_signatures"] = _sql(_minhash_sql("spark"),
+                                   duck_sql=_minhash_sql("duck"))
+
+    # SimHash
+    c["simhash"] = _sql(_simhash_sql("spark"), duck_sql=_simhash_sql("duck"))
+
+    # shingles
+    c["shingle_stats"] = _sql(_shingle_sql("spark"),
+                              duck_sql=_shingle_sql("duck"))
+
+    # n-gram Jaccard near-dup pairs
+    c["ngram_jaccard_pairs"] = _sql(_ngram_jaccard_sql("spark"),
+                                    duck_sql=_ngram_jaccard_sql("duck"))
+
+    # embedding cosine near-dup
+    c["embedding_neardup_pairs"] = _sql(_cosine_pairs_sql("spark"),
+                                        duck_sql=_cosine_pairs_sql("duck"))
+
+    # ANN top-k (brute-force baseline)
+    c["ann_topk_bruteforce"] = _sql(_ann_topk_sql("spark"),
+                                    duck_sql=_ann_topk_sql("duck"))
+
+    # ANN scale path: LSH buckets
+    c["ann_lsh_buckets"] = _sql(_lsh_bucket_sql("spark"),
+                                duck_sql=_lsh_bucket_sql("duck"))
+
+    # token counting (whitespace + BPE-ish subword estimate)
+    c["token_count"] = _sql("""
+SELECT doc_id,
+       size(split(text, ' ')) AS ws_tokens,
+       cast(ceil(length(replace(text, ' ', '')) / 4.0) as bigint)
+         AS bpe_est_tokens
+FROM documents ORDER BY doc_id""",
+        duck_sql="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       cast(ceil(length(replace(text, ' ', '')) / 4.0) as bigint)
+         AS bpe_est_tokens
+FROM documents ORDER BY doc_id""")
+
+    # quality scoring (length / punct / stopword ratios)
+    c["quality_score"] = _sql("""
+SELECT doc_id,
+       round(cast(size(filter(split(text, ' '),
+             x -> x IN ('the','and','of','to','a','in'))) as double)
+             / size(split(text, ' ')), 6) AS stopword_ratio,
+       round(cast(length(regexp_replace(text, '[a-z0-9 ]', '')) as double)
+             / length(text), 6) AS punct_ratio,
+       round(cast(length(text) as double)
+             / size(split(text, ' ')), 6) AS mean_token_len
+FROM documents ORDER BY doc_id""",
+        duck_sql="""
+SELECT doc_id,
+       round(cast(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','to','a','in'))) as double)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(cast(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) as double)
+             / length(text), 6) AS punct_ratio,
+       round(cast(length(text) as double)
+             / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents ORDER BY doc_id""")
+
+    # language-ID heuristic (stopword votes)
+    _langid = """
+SELECT doc_id,
+       CASE greatest(en_hits, it_hits, de_hits, es_hits)
+         WHEN 0 THEN 'und'
+         WHEN en_hits THEN 'en'
+         WHEN it_hits THEN 'it'
+         WHEN de_hits THEN 'de'
+         ELSE 'es' END AS predicted_lang
+FROM (
+  SELECT doc_id,
+    {LEN}({FILTER}({SPLIT}, x -> x IN ('the','and','of','is','that'))) AS en_hits,
+    {LEN}({FILTER}({SPLIT}, x -> x IN ('il','di','che','la','non'))) AS it_hits,
+    {LEN}({FILTER}({SPLIT}, x -> x IN ('der','und','die','ist','das'))) AS de_hits,
+    {LEN}({FILTER}({SPLIT}, x -> x IN ('el','de','la','que','es'))) AS es_hits
+  FROM documents) t
+ORDER BY doc_id"""
+    c["lang_id_heuristic"] = _sql(
+        _langid.format(LEN="size", FILTER="filter", SPLIT="split(text, ' ')"),
+        duck_sql=_langid.format(LEN="len", FILTER="list_filter",
+                                SPLIT="string_split(text, ' ')"))
+
+    return c

@@ -1,0 +1,204 @@
+"""Kernel-backed queries with DuckDB-checkable oracles.
+
+These give the driver *byte-identity proof* of the extraction kernels:
+the Spark side wraps ``documents.text`` into a synthetic container
+(HTML boilerplate template / generated PDF) deterministically, runs the
+real extraction kernel, and returns the extracted text — the oracle is
+simply ``SELECT doc_id, text FROM documents``, so any extraction byte
+drift fails the value-hash. This is the per-row invariant of
+BASELINE.json ``input_hint`` made driver-visible.
+
+Also holds the multimodal binary plumbing (decode stubbed per the build
+brief — the container ships no image/audio libs; schema, batching and
+UDF signature are real) and the resume pipeline metrics query
+(rows-only check: the mapper output is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels.embed import embed_text
+from ..kernels.html_text import extract_html
+from ..kernels.pdf_gen import make_pdf
+from ..kernels.pdf_text import extract_pdf
+from ..kernels.resume_map import map_resume
+from .catalog import register_views
+
+__all__ = ["extract_queries", "extract_oracles"]
+
+# Boilerplate wrapper — built with pure SQL string concat so the exact
+# same bytes are constructible on both engines if ever needed; the main
+# content block is documents.text verbatim.
+_HTML_TMPL_PRE = ('<!DOCTYPE html><html><head><title>d</title>'
+                  '<style>p{margin:0}</style></head><body>'
+                  '<nav><ul><li><a href="/a">alpha</a></li>'
+                  '<li><a href="/b">beta</a></li></ul></nav>'
+                  '<header><h1><a href="/">corpus site</a></h1></header>'
+                  '<aside><a href="/x">xx</a> <a href="/y">yy</a> '
+                  '<a href="/z">zz</a></aside><article><p>')
+_HTML_TMPL_POST = ('</p></article><footer><p>contact &amp; legal '
+                   '<a href="/tos">tos</a></p></footer></body></html>')
+
+
+def _html_extract_kernel(batches: Iterator) -> Iterator:
+    import pandas as pd
+    for pdf in batches:
+        out = pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "extracted": [extract_html(bytes(b))["text"]
+                          for b in pdf["html"]],
+        })
+        yield out
+
+
+def _pdf_roundtrip_kernel(batches: Iterator) -> Iterator:
+    import pandas as pd
+    for pdf in batches:
+        outs = []
+        for text in pdf["text"]:
+            outs.append(extract_pdf(make_pdf([text]))["text"])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "extracted": outs})
+
+
+def _q_extract_html_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    wrapped = spark.sql(f"""
+        SELECT doc_id,
+               cast(concat('{_HTML_TMPL_PRE}', text, '{_HTML_TMPL_POST}')
+                    as binary) AS html
+        FROM documents""")
+    return wrapped.mapInPandas(_html_extract_kernel,
+                               schema="doc_id long, extracted string") \
+                  .orderBy("doc_id")
+
+
+def _q_extract_pdf_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return docs.mapInPandas(_pdf_roundtrip_kernel,
+                            schema="doc_id long, extracted string") \
+               .orderBy("doc_id")
+
+
+_IDENTITY_ORACLE = ("SELECT doc_id, text AS extracted FROM documents "
+                    "ORDER BY doc_id")
+
+
+def _embed_kernel(batches: Iterator) -> Iterator:
+    import pandas as pd
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            # checksum of the embedding (rounded) — SQL-comparable scalar
+            "embed_checksum": [
+                round(float(sum(abs(v) for v in embed_text(t))), 4)
+                for t in pdf["text"]],
+        })
+
+
+def _q_embed_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-featurizer parity: the L1 norm of the normalized
+    embedding, which the oracle can't recompute in SQL — but determinism
+    across engines/runs is exactly what the rows-only re-run checks."""
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id", "text") \
+        .mapInPandas(_embed_kernel, schema="doc_id long, embed_checksum double") \
+        .orderBy("doc_id")
+
+
+def _multimodal_kernel(batches: Iterator) -> Iterator:
+    """Multimodal binary plumbing: typed metadata over opaque binary
+    payloads. The actual media decode is stubbed (no image/audio libs in
+    this container — see _decode_stub); the Spark-side schema,
+    partitioning and Arrow batch shape are real and tested."""
+    import pandas as pd
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"],
+                                         pdf["media_type"]):
+            data = bytes(payload)
+            rows.append({
+                "doc_id": doc_id,
+                "media_type": kind,
+                "n_bytes": len(data),
+                "frames_sampled": _decode_stub(data, kind),
+            })
+        yield pd.DataFrame(rows, columns=["doc_id", "media_type", "n_bytes",
+                                          "frames_sampled"])
+
+
+def _decode_stub(data: bytes, kind: str) -> int:
+    """Deterministic fake decode: pretends every 4 KiB is one frame.
+    Real decode (PIL/ffmpeg) is not installed in this container; swap
+    this function when the libs exist. Raising NotImplementedError here
+    would poison the batch, so the stub returns a deterministic count."""
+    return max(1, len(data) // 4096)
+
+
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    payloads = spark.sql("""
+        SELECT doc_id, cast(text as binary) AS payload,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type
+        FROM documents""")
+    return payloads.mapInPandas(
+        _multimodal_kernel,
+        schema="doc_id long, media_type string, n_bytes long, "
+               "frames_sampled long").orderBy("doc_id")
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       cast(n_chars as bigint) AS n_bytes,
+       cast(greatest(1, n_chars // 4096) as bigint) AS frames_sampled
+FROM documents ORDER BY doc_id"""
+
+
+def _resume_kernel(batches: Iterator) -> Iterator:
+    import pandas as pd
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            r = map_resume("SUMMARY\n" + text, [])
+            rows.append({
+                "doc_id": doc_id,
+                "n_sections": sum(1 for v in r.values() if v),
+            })
+        yield pd.DataFrame(rows, columns=["doc_id", "n_sections"])
+
+
+def _q_resume_map_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume mapper smoke over arbitrary text (rows-only check; the
+    real mapper goldens live in tests/test_resume_map.py)."""
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id", "text") \
+        .mapInPandas(_resume_kernel, schema="doc_id long, n_sections int") \
+        .orderBy("doc_id")
+
+
+def extract_queries() -> dict:
+    return {
+        "extract_html_identity": _q_extract_html_identity,
+        "extract_pdf_identity": _q_extract_pdf_identity,
+        "embed_checksum": _q_embed_checksum,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "resume_map_sections": _q_resume_map_sections,
+    }
+
+
+def extract_oracles() -> dict:
+    return {
+        "extract_html_identity": _IDENTITY_ORACLE,
+        "extract_pdf_identity": _IDENTITY_ORACLE,
+        "multimodal_metadata": _MULTIMODAL_ORACLE,
+        # embed_checksum / resume_map_sections: rows-only (non-SQL kernels)
+    }
