@@ -1,0 +1,78 @@
+"""HTML boilerplate-strip kernel unit tests (no Spark)."""
+
+from resume_parser_service_spark.kernels.html_text import extract_html
+
+MAIN = ("the quick brown fox jumps over the lazy dog and keeps running "
+        "through the forest")
+
+
+def _page(main_html: str) -> bytes:
+    return (f"<!DOCTYPE html><html><head><title>t</title>"
+            f"<style>p{{color:red}}</style><script>var x=1;</script></head>"
+            f"<body><nav><a href='/a'>aaa</a><a href='/b'>bbb</a></nav>"
+            f"<header><h1><a href='/'>Site</a></h1></header>"
+            f"<aside><a href='/x'>x</a> <a href='/y'>y</a></aside>"
+            f"{main_html}"
+            f"<footer><p>legal <a href='/tos'>tos</a></p></footer>"
+            f"</body></html>").encode()
+
+
+def test_main_content_identity():
+    assert extract_html(_page(f"<article><p>{MAIN}</p></article>"))["text"] == MAIN
+
+
+def test_multiple_paragraphs_joined_with_newline():
+    res = extract_html(_page("<article><p>first paragraph with words</p>"
+                             "<p>second paragraph with words</p></article>"))
+    assert res["text"] == ("first paragraph with words\n"
+                           "second paragraph with words")
+
+
+def test_boilerplate_containers_dropped():
+    res = extract_html(_page(f"<div><p>{MAIN}</p></div>"))
+    assert "aaa" not in res["text"]
+    assert "Site" not in res["text"]
+    assert "legal" not in res["text"]
+    assert res["text"] == MAIN
+
+
+def test_link_density_block_dropped():
+    html = _page(f"<div><a href='/1'>link one text</a> "
+                 f"<a href='/2'>link two text</a></div>"
+                 f"<article><p>{MAIN}</p></article>")
+    assert extract_html(html)["text"] == MAIN
+
+
+def test_entities_decoded():
+    res = extract_html(_page("<article><p>fish &amp; chips &lt;tag&gt; "
+                             "a&#39;b &#x41;BC</p></article>"))
+    assert res["text"] == "fish & chips <tag> a'b ABC"
+
+
+def test_whitespace_collapsed_within_block():
+    res = extract_html(_page("<article><p>  lots   of\n\n whitespace "
+                             "inside here  </p></article>"))
+    assert res["text"] == "lots of whitespace inside here"
+
+
+def test_script_style_raw_text_skipped():
+    res = extract_html(_page(f"<article><p>{MAIN}</p>"
+                             "<script>if (a < b) { alert('<p>hi</p>'); }"
+                             "</script></article>"))
+    assert res["text"] == MAIN
+
+
+def test_comments_skipped():
+    res = extract_html(_page(f"<article><!-- <p>ghost</p> -->"
+                             f"<p>{MAIN}</p></article>"))
+    assert res["text"] == MAIN
+
+
+def test_hrefs_collected_in_order():
+    res = extract_html(_page(f"<article><p>{MAIN}</p></article>"))
+    assert res["links"][:2] == ["/a", "/b"]
+
+
+def test_short_blocks_dropped():
+    res = extract_html(_page(f"<article><p>ok</p><p>{MAIN}</p></article>"))
+    assert res["text"] == MAIN

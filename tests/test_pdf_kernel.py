@@ -1,0 +1,93 @@
+"""PDF kernel unit tests (no Spark) — byte-identity round-trips, golden
+regression on the reference fixtures, link semantics, error taxonomy.
+Mirrors the assertions of /root/reference/app/tests/test_resume_parser.py
+(link extraction :94-135, parse happy/error paths :207-314)."""
+
+import json
+import os
+
+import pytest
+
+from resume_parser_service_spark.kernels.pdf_gen import make_pdf
+from resume_parser_service_spark.kernels.pdf_text import PdfError, extract_pdf
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+REFERENCE_PDFS = ["resume1.pdf", "resume2.pdf", "resume3.pdf",
+                  "FedericoElia.pdf", "CVENG.pdf"]
+
+
+def test_roundtrip_single_page():
+    pages = ["Hello World\nSecond line\nThird line"]
+    assert extract_pdf(make_pdf(pages))["text"] == pages[0]
+
+
+def test_roundtrip_multi_page():
+    pages = [f"Page {i} content\nline two of page {i}" for i in range(1, 4)]
+    res = extract_pdf(make_pdf(pages))
+    assert res["text"] == "\n\n".join(pages)
+    assert res["n_pages"] == 3
+
+
+def test_roundtrip_escapes_and_latin1():
+    pages = ["Parens (nested (deep)) and \\ backslash",
+             "Résumé of José — wait, emdash is not latin1".replace("—", "-")]
+    assert extract_pdf(make_pdf(pages))["text"] == "\n\n".join(pages)
+
+
+def test_blank_line_space_encoding():
+    # a single-space line round-trips to an empty line (corpus generator
+    # contract, sources/pages.py)
+    pages = ["above\n \nbelow"]
+    assert extract_pdf(make_pdf(pages))["text"] == "above\n\nbelow"
+
+
+def test_links_order_preserved():
+    links = ["https://github.com/a", "https://linkedin.com/in/b",
+             "https://example.com/c"]
+    res = extract_pdf(make_pdf(["has links"], links))
+    assert res["links"] == links
+
+
+def test_uncompressed_stream():
+    pages = ["no flate here"]
+    assert extract_pdf(make_pdf(pages, compress=False))["text"] == pages[0]
+
+
+def test_empty_page_pdf():
+    # minimal valid PDF with no text ops (spirit of the reference's
+    # inline fixture, /root/reference/app/tests/conftest.py:169-192)
+    res = extract_pdf(make_pdf([""]))
+    assert res["text"] == ""
+    assert res["n_pages"] == 1
+
+
+def test_bad_magic_raises():
+    with pytest.raises(PdfError):
+        extract_pdf(b"\x89PNG\r\n\x1a\n not a pdf")
+
+
+def test_truncated_raises():
+    with pytest.raises(PdfError):
+        extract_pdf(make_pdf(["truncate me"])[:100])
+
+
+@pytest.mark.parametrize("name", REFERENCE_PDFS)
+def test_reference_pdf_golden(name):
+    """Frozen goldens: never regenerate implicitly (SURVEY.md §7 risk 1).
+    A diff here means the kernel changed behavior — bump KERNEL_VERSION
+    and regenerate goldens deliberately."""
+    path = f"/root/reference/{name}"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not present")
+    with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as fh:
+        golden = json.load(fh)
+    res = extract_pdf(open(path, "rb").read())
+    assert res["text"] == golden["text"]
+    assert res["links"] == golden["links"]
+    assert res["n_pages"] == golden["n_pages"]
+
+
+def test_determinism():
+    data = make_pdf(["deterministic?\nyes"], ["https://x.example"])
+    assert extract_pdf(data) == extract_pdf(data)
+    assert make_pdf(["deterministic?\nyes"], ["https://x.example"]) == data

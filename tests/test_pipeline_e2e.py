@@ -1,0 +1,123 @@
+"""Spark-local E2E: synthetic pages -> pipeline -> byte-identical text,
+audit completeness, error taxonomy, idempotent resume (SURVEY.md §5
+plan item 3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_parser_service_spark.pipeline.run import run_extraction_job
+from resume_parser_service_spark.pipeline.writer import SnapshotTable
+from resume_parser_service_spark.sources.pages import EDGE_URLS, build_pages_df
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    pages_path = str(root / "pages")
+    build_pages_df(spark, N_DOCS).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    stats = run_extraction_job(spark, pages, str(root / "out"),
+                               salt_partitions=8)
+    return {"root": root, "pages": pages, "stats": stats}
+
+
+def test_extraction_counts(corpus):
+    stats = corpus["stats"]
+    assert stats["extracted"] > N_DOCS  # base docs + dups + edge fixtures
+    assert stats["rejected"] == 2  # oversize + bad magic
+    assert stats["snapshot_id"] == 1
+
+
+def test_byte_identity_per_url(spark, corpus):
+    ext = SnapshotTable(str(corpus["root"] / "out/resumes_extracted")) \
+        .read(spark)
+    golden = corpus["pages"].groupBy("url") \
+        .agg(F.max_by("text", "warc_ts").alias("golden"))
+    joined = ext.join(golden, "url")
+    n_total = joined.count()
+    n_match = joined.filter(F.col("text") == F.col("golden")).count()
+    assert n_total > 0
+    assert n_match == n_total
+
+
+def test_dedup_latest_wins(spark, corpus):
+    ext = SnapshotTable(str(corpus["root"] / "out/resumes_extracted")) \
+        .read(spark)
+    # duplicated urls (doc_id % 50 == 1) must appear exactly once
+    dup_counts = ext.groupBy("url").count().filter(F.col("count") > 1).count()
+    assert dup_counts == 0
+
+
+def test_audit_complete_and_taxonomy(spark, corpus):
+    audit = SnapshotTable(str(corpus["root"] / "out/extraction_audit")) \
+        .read(spark)
+    by_status = {(r["status"], r["error_class"]): r["n"]
+                 for r in audit.groupBy("status", "error_class")
+                 .agg(F.count("*").alias("n")).collect()}
+    assert by_status.get(("rejected", "FileSizeLimitExceededError")) == 1
+    assert by_status.get(("rejected", "InvalidFileTypeError")) == 1
+    assert by_status.get(("error", "FileProcessingError")) == 1  # truncated
+    assert ("ok", None) in by_status
+    # every input url appears in the audit exactly once
+    n_urls = corpus["pages"].select("url").distinct().count()
+    assert audit.select("url").distinct().count() == n_urls
+    # lineage columns are populated for kernel rows
+    ok = audit.filter(F.col("status") == "ok")
+    assert ok.filter(F.col("kernel_version").isNull()).count() == 0
+    assert ok.filter(F.col("partition_id").isNull()).count() == 0
+    assert ok.filter(F.col("extract_ms") <= 0).count() == 0
+
+
+def test_edge_fixture_metrics(spark, corpus):
+    ext = SnapshotTable(str(corpus["root"] / "out/resumes_extracted")) \
+        .read(spark)
+    rows = {r["url"]: r for r in ext.filter(
+        F.col("url").startswith("urn:fixture:")).collect()}
+    assert rows[EDGE_URLS["minimal"]]["text"] == ""
+    assert rows[EDGE_URLS["six_pages"]]["n_pages"] == 6
+    assert rows[EDGE_URLS["links"]]["links"] == [
+        "https://github.com/fixture", "https://linkedin.com/in/fixture"]
+
+
+def test_resume_struct_populated(spark, corpus):
+    from resume_parser_service_spark.schema import RESUME_SCHEMA
+    ext = SnapshotTable(str(corpus["root"] / "out/resumes_extracted")) \
+        .read(spark)
+    pdfs = ext.filter((F.col("doc_type") == "pdf") & (F.col("n_chars") > 0)
+                      & ~F.col("url").startswith("urn:fixture:")) \
+        .withColumn("resume", F.from_json("resume_json", RESUME_SCHEMA))
+    n = pdfs.count()
+    assert n > 0
+    with_email = pdfs.filter(
+        F.col("resume.personal_information.email").isNotNull()).count()
+    assert with_email == n
+    # vector populated and 64-dim
+    assert pdfs.filter(F.size("vector") != 64).count() == 0
+
+
+def test_idempotent_resume(spark, corpus):
+    stats2 = run_extraction_job(spark, corpus["pages"],
+                                str(corpus["root"] / "out"),
+                                salt_partitions=8)
+    assert stats2["resumed_noop"] is True
+    assert stats2["extracted"] == 0
+
+
+def test_incremental_resume_processes_only_new(spark, corpus):
+    new_pages = build_pages_df(spark, N_DOCS + 20, with_fixtures=False)
+    stats3 = run_extraction_job(spark, new_pages,
+                                str(corpus["root"] / "out"),
+                                salt_partitions=8)
+    assert stats3["resumed_noop"] is False
+    # only the 20 new docs (plus any new dups) are processed
+    assert 20 <= stats3["extracted"] <= 22
+    assert stats3["rejected"] == 0
+
+
+def test_time_travel_read(spark, corpus):
+    tbl = SnapshotTable(str(corpus["root"] / "out/resumes_extracted"))
+    v1 = tbl.read(spark, version=1).count()
+    latest = tbl.read(spark).count()
+    assert latest > v1  # snapshot 2 appended the incremental docs

@@ -1,0 +1,161 @@
+"""Resume mapper + schema + to_text tests (no Spark except schema test).
+
+Mirrors the reference's schema assertions
+(/root/reference/app/tests/conftest.py:201-289 fixture) and the prompt
+routing rules (/root/reference/app/services/prompt.py:16-20)."""
+
+import json
+
+from resume_parser_service_spark.kernels.embed import EMBED_DIM, embed_text
+from resume_parser_service_spark.kernels.resume_map import (map_resume,
+                                                            resume_to_text)
+from resume_parser_service_spark.schema import (RESUME_SCHEMA,
+                                                canonical_resume_json)
+
+SAMPLE = """John Doe
+Dublin, Ireland
+Email: john.doe@example.com
+Phone: +353 871 234 567
+
+EDUCATION
+Master in Computer Science
+Trinity College
+2012 - 2014
+Grade: First
+
+Merit Scholarship: awarded for excellence
+
+Deep Learning Workshop: two-day intensive
+
+EXPERIENCE
+Engineer at Acme
+Jan 2015 - Dec 2018
+- built pipelines
+- ran oncall
+Skills: spark, python
+
+PROJECTS
+SideProj: a side project
+Link: https://github.com/johndoe/sideproj
+
+CERTIFICATIONS
+CKA: certified kubernetes admin
+
+LANGUAGES
+English: Native
+Italian: B1
+
+INTERESTS
+- chess
+- running"""
+
+
+def test_personal_information():
+    r = map_resume(SAMPLE, ["https://github.com/johndoe",
+                            "https://linkedin.com/in/johndoe"])
+    pi = r["personal_information"]
+    assert pi["name"] == "John"
+    assert pi["surname"] == "Doe"
+    assert pi["city"] == "Dublin"
+    assert pi["country"] == "Ireland"
+    assert pi["email"] == "john.doe@example.com"
+    assert pi["phone_prefix"] == "+353"
+    assert pi["github"] == "https://github.com/johndoe"
+    assert pi["linkedin"] == "https://linkedin.com/in/johndoe"
+
+
+def test_education_parsed():
+    r = map_resume(SAMPLE, [])
+    edu = r["education_details"]
+    assert len(edu) == 1
+    e = edu[0]
+    assert e["education_level"] == "Master"
+    assert e["field_of_study"] == "Computer Science"
+    assert e["institution"] == "Trinity College"
+    assert e["start_date"] == "2012"
+    assert e["year_of_completion"] == "2014"
+    assert e["final_evaluation_grade"] == "First"
+
+
+def test_routing_rules():
+    """Scholarships/awards -> achievements; workshops/seminars ->
+    projects (/root/reference/app/services/prompt.py:16-20)."""
+    r = map_resume(SAMPLE, [])
+    ach_names = [a["name"] for a in r["achievements"]]
+    assert "Merit Scholarship" in ach_names
+    proj_names = [p["name"] for p in r["projects"]]
+    assert "Deep Learning Workshop" in proj_names
+    assert "SideProj" in proj_names
+    edu_insts = [e.get("institution") for e in r["education_details"]]
+    assert "Merit Scholarship" not in str(edu_insts)
+
+
+def test_experience_parsed():
+    r = map_resume(SAMPLE, [])
+    exp = r["experience_details"][0]
+    assert exp["position"] == "Engineer"
+    assert exp["company"] == "Acme"
+    assert exp["employment_period"] == "Jan 2015 - Dec 2018"
+    assert exp["key_responsibilities"] == ["built pipelines", "ran oncall"]
+    assert exp["skills_acquired"] == ["spark", "python"]
+
+
+def test_languages_interests_certifications():
+    r = map_resume(SAMPLE, [])
+    assert {"language": "English", "proficiency": "Native"} in r["languages"]
+    assert r["interests"] == ["chess", "running"]
+    assert r["certifications"][0]["name"] == "CKA"
+
+
+def test_to_text_format(valid_resume_data):
+    """Exact line formats/separators of ResumeBase.to_text
+    (/root/reference/app/schemas/resume.py:143-292)."""
+    txt = resume_to_text(valid_resume_data)
+    assert txt.startswith("Personal Information:\nName: Jane\nSurname: Doe\n"
+                          "Country: Ireland\nCity: Dublin")
+    assert "\n\nEducation:\nLevel: Master\n" in txt
+    assert "Key Responsibilities:\n- built pipelines\n- ran oncall" in txt
+    assert "Languages:\nEnglish: Native" in txt
+    assert "Interests:\n- chess\n- running" in txt
+    assert "Legal Authorization:\nUS Work Authorization: Yes" in txt
+    # sections are joined with blank lines, no trailing whitespace
+    assert not txt.endswith("\n")
+
+
+def test_to_text_empty_sections_skipped():
+    assert resume_to_text({"personal_information": None}) == ""
+    assert resume_to_text({"languages": [{"language": "X",
+                                          "proficiency": None}]}) == ""
+
+
+def test_canonical_json_deterministic(valid_resume_data):
+    a = canonical_resume_json(valid_resume_data)
+    b = canonical_resume_json(json.loads(a))
+    assert a == b
+    assert "\n" not in a
+
+
+def test_resume_schema_roundtrip(spark, valid_resume_data):
+    """The conformant fixture must round-trip through RESUME_SCHEMA."""
+    from pyspark.sql import functions as F
+    j = canonical_resume_json(valid_resume_data)
+    df = spark.createDataFrame([(j,)], "resume_json string") \
+        .select(F.from_json("resume_json", RESUME_SCHEMA).alias("r"))
+    row = df.select("r.*").collect()[0]
+    assert row["personal_information"]["zip_code"] == "D01XY45"
+    assert len(row["personal_information"]["zip_code"]) <= 10
+    assert row["education_details"][0]["exam"]["Algorithms"] == "A"
+    assert row["legal_authorization"]["requires_uk_sponsorship"] == "Yes"
+    # no field of the canonical JSON is dropped by the schema
+    back = json.loads(df.select(F.to_json("r").alias("j")).collect()[0]["j"])
+    assert back["personal_information"]["email"] == "jane.doe@example.com"
+
+
+def test_embed_deterministic():
+    v1 = embed_text("spark extraction pipeline")
+    v2 = embed_text("spark extraction pipeline")
+    assert v1 == v2
+    assert len(v1) == EMBED_DIM
+    norm = sum(x * x for x in v1) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    assert embed_text("") == [0.0] * EMBED_DIM
