@@ -1,0 +1,119 @@
+"""Benchmark: headline extraction throughput + query timings.
+
+Runs the flagship extraction pipeline over a deterministic synthetic
+``pages`` corpus (materialized once to parquet, FIXTURES.md §1 bench
+scale) and times headline catalog queries at $SPARK_GRAFT_SF_DIR.
+Prints ONE JSON line:
+  {"metric": ..., "value": <extraction wall sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_DOCS (default 20000), BENCH_RUNS (default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "pricing_summary", "join_revenue_by_nation", "semi_join_exists",
+    "window_rank_per_source", "sessionize_events", "rollup_metrics",
+    "explode_top_tokens", "json_extract_props",
+    "dedup_exact", "minhash_signatures", "simhash",
+    "ann_topk_bruteforce", "ann_lsh_buckets",
+    "token_count", "quality_score", "lang_id_heuristic",
+    "extract_html_identity",
+]
+
+
+def ensure_corpus(spark, n_docs: int, cache_root: str) -> str:
+    from resume_parser_service_spark.sources.pages import build_pages_df
+    path = os.path.join(cache_root, f"pages_n{n_docs}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        build_pages_df(spark, n_docs, partitions=256).write \
+            .mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extraction(spark, pages_path: str, partitions: int) -> dict:
+    """Time the full kernel dataflow (dedup -> validate -> salted
+    repartition -> mapInPandas -> count). Count forces materialization
+    without write-side noise."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.extract import extract_pages
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    extracted, rejected = extract_pages(pages, salt_partitions=partitions)
+    agg = extracted.select(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum("n_chars").alias("chars")).collect()[0]
+    wall = time.perf_counter() - t0
+    return {"n_docs": int(agg["n"]), "n_ok": int(agg["ok"]),
+            "n_chars": int(agg["chars"]), "wall_sec": wall,
+            "docs_per_sec": round(agg["n"] / wall, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "20000"))
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    from resume_parser_service_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="rps-bench", cores=cpus,
+                      shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_cache")
+    pages_path = ensure_corpus(spark, n_docs, cache_root)
+
+    # warm-up (JIT, Arrow, python worker pool), then timed runs
+    ext_stats = bench_extraction(spark, pages_path, partitions=cpus * 2)
+    runs = [bench_extraction(spark, pages_path, partitions=cpus * 2)
+            for _ in range(n_runs)]
+    best = sorted(runs, key=lambda r: r["wall_sec"])[len(runs) // 2]
+
+    qs = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        del n
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "extraction_pipeline_wall_sec",
+        "value": round(best["wall_sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": best["docs_per_sec"],
+        "n_docs": best["n_docs"],
+        "n_ok": best["n_ok"],
+        "cpus": cpus,
+        "warmup_docs_per_sec": ext_stats["docs_per_sec"],
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

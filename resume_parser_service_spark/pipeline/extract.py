@@ -3,13 +3,25 @@
 Plan shape (SURVEY.md §3.1 rebuild):
 
     scan(pages)
-      -> latest-wins dedup per url           (window row_number, B5 semantics)
       -> cheap validation predicates         (BEFORE the opaque Python stage —
                                               Catalyst cannot push filters
                                               through mapInPandas)
-      -> salted repartition by xxhash64(url) (north rule skew defense)
+      -> [optional] salted repartition by xxhash64(url) (skew defense when
+                                              input file layout is skewed)
       -> mapInPandas(extraction kernel)      (one Arrow crossing per batch)
+      -> latest-wins dedup per url           (window row_number, B5 semantics)
       -> extracted rows; audit rows split off
+
+Deliberate ordering for 100 TB scale: the kernel runs as a pure map
+stage over the scan, and the url dedup shuffle happens AFTER extraction
+— it then moves extracted text/JSON (KBs/row) instead of raw ``html``
+(up to 10 MB/row). Extraction is deterministic per row, so
+extract-then-dedup is equivalent to dedup-then-extract; the ~2% of
+duplicate urls cost two kernel invocations instead of shuffling the
+whole corpus. The pre-kernel salted repartition stays available for
+inputs whose *file* layout is skewed (one giant WARC); with a
+well-split columnar source, ``spark.sql.files.maxPartitionBytes``
+already balances scan tasks byte-wise.
 
 Validation mirrors the reference's upload gate: 10 MB cap and magic-byte
 sniff (/root/reference/app/routers/resume_ingestor_router.py:26-28,
@@ -22,7 +34,7 @@ from __future__ import annotations
 import time
 from typing import Iterator
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernels import embed, html_text, pdf_text, resume_map
@@ -39,13 +51,17 @@ PIPELINE_KERNEL_VERSION = "+".join([pdf_text.KERNEL_VERSION,
 _SALT = 0x5EED
 
 
-def dedup_latest(pages: DataFrame) -> DataFrame:
-    """One row per url, latest ``warc_ts`` wins — the replace-on-key
+def dedup_latest(df: DataFrame, key: str = "url",
+                 order: str = "warc_ts") -> DataFrame:
+    """One row per key, latest ``order`` wins — the replace-on-key
     upsert semantics of /root/reference/app/services/resume_service.py:
-    106-182 expressed as a window dedup (SURVEY.md B5)."""
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
-    return (pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    106-182 (SURVEY.md B5). Implemented as max_by aggregation rather
+    than a row_number window: hash aggregation with map-side partial
+    combine beats a full per-partition sort at 10^12 rows."""
+    rest = [c for c in df.columns if c != key]
+    return (df.groupBy(key)
+            .agg(F.max_by(F.struct(*rest), F.col(order)).alias("_row"))
+            .select(key, "_row.*"))
 
 
 def validate_pages(pages: DataFrame) -> DataFrame:
@@ -109,22 +125,29 @@ def _kernel(batches: Iterator) -> Iterator:
 
 
 def extract_pages(pages: DataFrame, salt_partitions: int | None = None,
-                  dedup: bool = True) -> tuple[DataFrame, DataFrame]:
+                  dedup: bool = True,
+                  salt_input: bool = False) -> tuple[DataFrame, DataFrame]:
     """Run the extraction pipeline. Returns ``(extracted, rejected)`` —
-    ``extracted`` in EXTRACT_SCHEMA (incl. per-row kernel errors),
-    ``rejected`` holds pre-kernel validation rejects."""
-    v = validate_pages(dedup_latest(pages) if dedup else pages)
+    ``extracted`` in EXTRACT_SCHEMA (incl. per-row kernel errors), one
+    row per url (latest warc_ts wins), ``rejected`` holds pre-kernel
+    validation rejects.
+
+    ``salt_partitions`` sizes the post-kernel dedup shuffle (salted by
+    xxhash64(url)); ``salt_input=True`` additionally repartitions the
+    raw input before the kernel — only worth the byte movement when the
+    source file layout itself is skewed."""
+    v = validate_pages(pages)
     ok = v.filter(F.col("reject_class").isNull())
     rejected = (v.filter(F.col("reject_class").isNotNull())
                 .select("url", "warc_ts", "lang", "doc_type",
                         F.lit("rejected").alias("status"),
                         F.col("reject_class").alias("error_class"),
                         F.length("html").alias("n_bytes")))
-    if salt_partitions:
-        # salted repartition: spreads url-hash uniformly so one hot
-        # domain / size-skewed partition cannot straggle (north rule)
+    if salt_input and salt_partitions:
         ok = ok.repartition(salt_partitions,
                             F.xxhash64(F.col("url"), F.lit(_SALT)))
     extracted = ok.select("url", "warc_ts", "html", "lang", "doc_type") \
                   .mapInPandas(_kernel, schema=EXTRACT_SCHEMA)
+    if dedup:
+        extracted = dedup_latest(extracted)
     return extracted, rejected

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .extract import dedup_latest, extract_pages, validate_pages
+from .extract import extract_pages
 from .writer import SnapshotTable
 
 __all__ = ["run_extraction_job"]
@@ -36,10 +36,10 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     run_id = uuid.uuid4().hex[:12]
 
     # resume point: urls already processed (ok, error or rejected)
-    todo = audit_tbl.resume_filter(spark, dedup_latest(pages))
+    todo = audit_tbl.resume_filter(spark, pages)
 
     extracted, rejected = extract_pages(todo, salt_partitions=salt_partitions,
-                                        dedup=False)
+                                        dedup=True)
     # One materialization of the kernel output; everything below reuses it.
     extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,110 @@
+"""DataFrame-API function helpers + physical-plan shape assertions.
+
+The plan tests pin the scale-design invariants: filter/column pushdown
+into the parquet scan, broadcast join on small dims, and no shuffle
+ahead of the extraction kernel (SURVEY.md §4)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from resume_parser_service_spark import functions as X
+from resume_parser_service_spark.plans import (count_exchanges,
+                                               formatted_plan,
+                                               has_broadcast_join,
+                                               pushed_filters,
+                                               scan_read_schema)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hash60_matches_duckdb(spark):
+    import duckdb
+    df = spark.range(1).select(X.hash60(F.lit("tok")).alias("h"))
+    duck = duckdb.sql("select cast(concat('0x', substr(md5('tok'), 1, 15)) "
+                      "as bigint)").fetchall()[0][0]
+    assert df.collect()[0]["h"] == duck
+
+
+def test_minhash_shape(docs):
+    row = docs.select(X.minhash("text", 4).alias("sig")).first()
+    assert len(row["sig"]) == 4
+    assert all(isinstance(v, int) for v in row["sig"])
+
+
+def test_cosine_sim_self_is_one(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [[1.0, 2.0, 3.0]]}), "v array<float>")
+    got = df.select(X.cosine_sim("v", "v").alias("c")).first()["c"]
+    assert abs(got - 1.0) < 1e-9
+
+
+def test_quality_metrics(docs):
+    row = docs.select(
+        X.stopword_ratio("text").alias("sw"),
+        X.punct_ratio("text").alias("pr"),
+        X.token_count("text").alias("tc"),
+        X.fingerprint("text").alias("fp")).first()
+    assert 0.0 <= row["sw"] <= 1.0
+    assert 0.0 <= row["pr"] <= 1.0
+    assert row["tc"] > 0
+    assert len(row["fp"]) == 32
+
+
+# ------------------------------------------------------------ plan shape --
+
+def test_filter_pushdown_reaches_scan(docs):
+    q = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)) \
+        .select("doc_id")
+    pf = pushed_filters(q)
+    assert any("lang" in f for f in pf)
+    assert any("n_chars" in f for f in pf)
+
+
+def test_column_pruning_reaches_scan(docs):
+    q = docs.select("doc_id", "lang")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"doc_id", "lang"}  # text is NOT read
+
+
+def test_small_dim_join_broadcasts(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    q = cust.join(nation,
+                  cust.c_nationkey == nation.n_nationkey) \
+        .groupBy("n_name").count()
+    assert has_broadcast_join(q)
+
+
+def test_kernel_stage_has_no_input_shuffle(spark):
+    """The extraction kernel must run as a pure map stage over the scan
+    — raw html bytes are never shuffled (extract.py design note)."""
+    from resume_parser_service_spark.pipeline.extract import extract_pages
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .selectExpr("cast(doc_id as string) as url",
+                    "current_timestamp() as warc_ts",
+                    "cast(text as binary) as html",
+                    "text", "lang")
+    extracted, _ = extract_pages(pages, dedup=False)
+    plan = formatted_plan(extracted)
+    # no Exchange between Scan and the python map stage
+    scan_pos = plan.find("Scan parquet")
+    py_pos = plan.find("MapInPandas")
+    assert scan_pos != -1 and py_pos != -1
+    assert "Exchange" not in plan[min(scan_pos, py_pos):max(scan_pos, py_pos)]
+
+
+def test_dedup_shuffles_once(spark):
+    from resume_parser_service_spark.pipeline.extract import extract_pages
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .selectExpr("cast(doc_id as string) as url",
+                    "current_timestamp() as warc_ts",
+                    "cast(text as binary) as html",
+                    "text", "lang")
+    extracted, _ = extract_pages(pages, dedup=True)
+    assert count_exchanges(extracted) == 1
