@@ -1,0 +1,68 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+Package the repo and run:
+
+    zip -r rps.zip resume_parser_service_spark
+    spark-submit --py-files rps.zip -m resume_parser_service_spark \\
+        --input /data/pages --output /data/extracted
+
+or locally: ``python -m resume_parser_service_spark --input ... --output ...``
+
+Subcommands via flags:
+  --input DIR      parquet pages table (url, warc_ts, html, text, lang)
+  --output DIR     output root (resumes_extracted + extraction_audit)
+  --salt-input     repartition input by xxhash64(url) before the kernel
+  --partitions N   salt/shuffle partition count (default: 2x cores)
+  --synthesize N   instead of --input, generate an N-doc synthetic corpus
+  --stream         treat --input as a streaming file source (availableNow)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="resume_parser_service_spark")
+    p.add_argument("--input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--salt-input", action="store_true")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--synthesize", type=int, default=None)
+    p.add_argument("--stream", action="store_true")
+    p.add_argument("--cores", default=None)
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark(app_name="resume-parser-service-spark",
+                      cores=args.cores)
+
+    if args.synthesize:
+        from .sources.pages import build_pages_df
+        pages = build_pages_df(spark, args.synthesize)
+    elif args.input and not args.stream:
+        pages = spark.read.parquet(args.input)
+    elif args.input and args.stream:
+        from .streaming import stream_extraction
+        q = stream_extraction(spark, args.input, args.output,
+                              salt_partitions=args.partitions,
+                              available_now=True)
+        q.awaitTermination()
+        print(json.dumps({"mode": "stream", "output": args.output}))
+        return 0
+    else:
+        p.error("need --input or --synthesize")
+        return 2
+
+    from .pipeline.run import run_extraction_job
+    stats = run_extraction_job(spark, pages, args.output,
+                               salt_partitions=args.partitions,
+                               salt_input=args.salt_input)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,10 +16,12 @@ q/Q/cm graphics state. Unsupported filters (DCTDecode images etc.) are
 skipped — they carry no text.
 
 Output contract (total, version-frozen; bump KERNEL_VERSION on change):
-text runs are grouped into lines by device-space baseline (y rounded to
-0.1pt bands), lines sorted top-to-bottom then left-to-right, runs within
-a line joined with a space iff the x-gap exceeds 0.25 * font size,
-lines joined with "\n", pages joined with "\n\n".
+text runs are grouped into lines by device-space baseline (banded at
+40% of the median font size), lines sorted top-to-bottom then
+left-to-right; run advances come from parsed glyph widths (/Widths,
+CIDFont /W) and runs within a line are joined with a space iff the
+residual x-gap exceeds 0.20 * font size; lines joined with "\n",
+pages joined with "\n\n".
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.0.0"
+KERNEL_VERSION = "pdf-1.1.0"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -451,12 +453,18 @@ def _undo_png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> byt
 
 # ---------------------------------------------------------------- fonts ---
 
+_DEFAULT_WIDTH = 500.0  # glyph-space units (em/1000) when unknown
+
+
 class _Font:
-    """Decoder for one font resource: code bytes -> unicode text."""
+    """Decoder for one font resource: code bytes -> unicode text, plus
+    glyph advance widths (for inter-run spacing decisions)."""
 
     def __init__(self, doc: _Document, font_dict: dict):
         self.two_byte = False
         self.cmap: dict[int, str] = {}
+        self.widths: dict[int, float] = {}
+        self.default_width = _DEFAULT_WIDTH
         subtype = doc.resolve(font_dict.get("Subtype"))
         if subtype == "Type0":
             self.two_byte = True
@@ -468,6 +476,65 @@ class _Font:
             data = doc.stream_data(tu)
             if data:
                 self._parse_tounicode(data)
+        self._parse_widths(doc, font_dict, subtype)
+
+    def _parse_widths(self, doc: _Document, fd: dict, subtype):
+        if subtype == "Type0":
+            desc = doc.resolve(fd.get("DescendantFonts"))
+            if isinstance(desc, list) and desc:
+                dfont = doc.resolve(desc[0])
+                if isinstance(dfont, dict):
+                    dw = doc.resolve(dfont.get("DW"))
+                    if isinstance(dw, (int, float)):
+                        self.default_width = float(dw)
+                    else:
+                        self.default_width = 1000.0
+                    self._parse_cid_w(doc, doc.resolve(dfont.get("W")))
+            return
+        first = doc.resolve(fd.get("FirstChar"))
+        warr = doc.resolve(fd.get("Widths"))
+        if isinstance(first, int) and isinstance(warr, list):
+            for i, w in enumerate(warr):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    self.widths[first + i] = float(w)
+
+    def _parse_cid_w(self, doc: _Document, w):
+        """CIDFont /W array: ``c [w1 w2 ...]`` or ``c1 c2 w`` items."""
+        if not isinstance(w, list):
+            return
+        i = 0
+        n = len(w)
+        while i < n:
+            a = doc.resolve(w[i])
+            if i + 1 >= n or not isinstance(a, (int, float)):
+                break
+            b = doc.resolve(w[i + 1])
+            if isinstance(b, list):
+                for j, ww in enumerate(b):
+                    ww = doc.resolve(ww)
+                    if isinstance(ww, (int, float)):
+                        self.widths[int(a) + j] = float(ww)
+                i += 2
+            elif i + 2 < n:
+                c = doc.resolve(w[i + 2])
+                if isinstance(b, (int, float)) and isinstance(c, (int, float)):
+                    for cid in range(int(a), min(int(b), int(a) + 65536) + 1):
+                        self.widths[cid] = float(c)
+                i += 3
+            else:
+                break
+
+    def codes(self, raw: bytes) -> list[int]:
+        if self.two_byte:
+            return [(raw[i] << 8) | raw[i + 1]
+                    for i in range(0, len(raw) - 1, 2)]
+        return list(raw)
+
+    def text_width(self, raw: bytes) -> float:
+        """Total advance in glyph-space units (em/1000)."""
+        return sum(self.widths.get(c, self.default_width)
+                   for c in self.codes(raw))
 
     def _parse_tounicode(self, data: bytes):
         # codespacerange determines code width
@@ -515,12 +582,12 @@ class _Font:
     def decode(self, raw: bytes) -> str:
         out = []
         if self.two_byte:
-            for i in range(0, len(raw) - 1, 2):
-                code = (raw[i] << 8) | raw[i + 1]
+            for code in self.codes(raw):
                 out.append(self.cmap.get(code, ""))
         else:
             for b in raw:
-                out.append(self.cmap.get(b, chr(b) if 32 <= b < 127 or b >= 160 else ""))
+                out.append(self.cmap.get(
+                    b, chr(b) if 32 <= b < 127 or b >= 160 else ""))
         return "".join(out)
 
 
@@ -624,11 +691,14 @@ def _run_content(doc: _Document, content: bytes, res: dict,
         txt = font.decode(raw)
         m = _mat_mul(tm, ctm)
         x, y = m[4], m[5]
+        scale = abs(m[0]) or 1.0
+        # advance from parsed glyph widths (em/1000) + char/word spacing
+        n_codes = len(font.codes(raw))
+        adv = (font.text_width(raw) / 1000.0 * fsize + n_codes * tc +
+               (raw.count(b" ") if not font.two_byte else txt.count(" ")) * tw
+               ) * th
         if txt:
-            runs.append((x, y, fsize * abs(m[0]) if m[0] else fsize, txt))
-        # advance ~0.5em per char (display heuristic; widths not parsed)
-        adv = (len(txt) * 0.5 * fsize + len(txt) * tc +
-               txt.count(" ") * tw) * th
+            runs.append((x, y, fsize * scale, txt, adv * scale))
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 
     def next_line(ty=None):
@@ -725,9 +795,10 @@ def _run_content(doc: _Document, content: bytes, res: dict,
                         gap = -float(it) / 1000.0 * fsize * th
                         tm = _mat_mul((1, 0, 0, 1, gap, 0), tm)
                         # big negative displacement == inter-word space
-                        if gap > 0.30 * fsize and runs and not runs[-1][3].endswith(" "):
-                            x, y, fs, t = runs[-1]
-                            runs[-1] = (x, y, fs, t + " ")
+                        if gap > 0.30 * fsize and runs \
+                                and not runs[-1][3].endswith(" "):
+                            x, y, fs, t, w = runs[-1]
+                            runs[-1] = (x, y, fs, t + " ", w + gap)
                 stack.clear()
                 continue
             elif op == b"q":
@@ -758,8 +829,9 @@ def _run_content(doc: _Document, content: bytes, res: dict,
     return runs
 
 
-def _assemble_text(runs: list[tuple[float, float, float, str]]) -> str:
-    """Order runs into lines: y bands top-to-bottom, x left-to-right."""
+def _assemble_text(runs: list[tuple]) -> str:
+    """Order runs into lines: y bands top-to-bottom, x left-to-right.
+    Runs are (x, y, font_size, text, width_pts)."""
     if not runs:
         return ""
     # group into baseline bands (tolerance: 40% of median font size)
@@ -779,8 +851,8 @@ def _assemble_text(runs: list[tuple[float, float, float, str]]) -> str:
         line.sort(key=lambda r: r[0])
         parts = [line[0][3]]
         for prev, cur in zip(line, line[1:]):
-            gap = cur[0] - (prev[0] + len(prev[3]) * 0.5 * (prev[2] or 10.0))
-            sep = " " if gap > 0.25 * (cur[2] or 10.0) else ""
+            gap = cur[0] - (prev[0] + prev[4])
+            sep = " " if gap > 0.20 * (cur[2] or 10.0) else ""
             if parts[-1].endswith(" ") or cur[3].startswith(" "):
                 sep = ""
             parts.append(sep + cur[3])

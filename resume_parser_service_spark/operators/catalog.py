@@ -139,8 +139,6 @@ def _ngram_jaccard_sql(dialect: str) -> str:
     """Candidate near-dup pairs: docs sharing >=1 identical 5-word
     shingle, with shared-shingle counts + Jaccard over shingle sets
     (MinHash/LSH's exact verification step)."""
-    base = _shingle_sql(dialect)
-    # reuse the shingle CTE body
     toks = _tokens("text", dialect)
     if dialect == "spark":
         shingle = ("SELECT doc_id, pos, tok FROM documents "

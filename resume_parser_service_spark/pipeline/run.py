@@ -27,7 +27,8 @@ __all__ = ["run_extraction_job"]
 
 
 def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
-                       salt_partitions: int | None = None) -> dict:
+                       salt_partitions: int | None = None,
+                       salt_input: bool = False) -> dict:
     """Run (or resume) extraction of ``pages`` into tables under
     ``out_root``: ``resumes_extracted`` + ``extraction_audit``.
     Re-running with the same input is a no-op (idempotent resume)."""
@@ -39,7 +40,7 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     todo = audit_tbl.resume_filter(spark, pages)
 
     extracted, rejected = extract_pages(todo, salt_partitions=salt_partitions,
-                                        dedup=True)
+                                        dedup=True, salt_input=salt_input)
     # One materialization of the kernel output; everything below reuses it.
     extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)

@@ -50,12 +50,20 @@ class SnapshotTable:
     def commit(self, df: DataFrame, partitions: int | None = None) -> int:
         """Append ``df`` as a new snapshot. Data lands fully before the
         manifest appears (os.replace is atomic), so readers never see a
-        partial commit and a crashed run leaves no visible snapshot."""
+        partial commit and a crashed run leaves no visible snapshot.
+        A ``_snapshot_id`` column is stamped so ``read_current`` can
+        resolve replace-on-key precedence across snapshots."""
+        from pyspark.sql import functions as F
         last = self.last_snapshot()
         snap_id = (last["id"] + 1) if last else 1
         rel = f"data/snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.root, rel)
         out = df.repartition(partitions) if partitions else df
+        if "_snapshot_id" in out.columns:
+            out = out.drop("_snapshot_id")
+        out = out.withColumn("_snapshot_id", F.lit(snap_id).cast("long"))
+        if "_deleted" not in out.columns:
+            out = out.withColumn("_deleted", F.lit(False))
         out.write.mode("overwrite").parquet(path)
         manifest = {"id": snap_id, "parent": last["id"] if last else None,
                     "path": rel, "committed_at": time.time()}
@@ -74,6 +82,74 @@ class SnapshotTable:
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    def read_current(self, spark: SparkSession,
+                     version: int | None = None) -> DataFrame | None:
+        """Current table state: one row per key (highest snapshot wins
+        — replace-on-key semantics of
+        /root/reference/app/services/resume_service.py:106-182), delete
+        tombstones filtered out."""
+        from pyspark.sql import functions as F
+        df = self.read(spark, version)
+        if df is None:
+            return None
+        rest = [c for c in df.columns if c != self.key_col]
+        cur = (df.groupBy(self.key_col)
+               .agg(F.max_by(F.struct(*rest), F.col("_snapshot_id"))
+                    .alias("_row"))
+               .select(self.key_col, "_row.*"))
+        return cur.filter(~F.col("_deleted")).drop("_deleted")
+
+    def merge_upsert(self, spark: SparkSession, new_df: DataFrame,
+                     compare_exclude: tuple = ("vector", "_snapshot_id",
+                                               "_deleted", "extract_ms")
+                     ) -> dict:
+        """Diff-update MERGE (SURVEY.md B5/B6): insert new keys, rewrite
+        keys whose compared fields changed, and elide no-op updates —
+        the field-diff semantics of
+        /root/reference/app/services/resume_service.py:184-261, which
+        also excludes ``vector`` from the comparison (:220-223)."""
+        from pyspark.sql import functions as F
+        cur = self.read_current(spark)
+        if cur is None:
+            snap = self.commit(new_df)
+            n = new_df.count()
+            return {"inserted": n, "updated": 0, "unchanged": 0,
+                    "snapshot_id": snap}
+        cmp_cols = [c for c in new_df.columns
+                    if c not in compare_exclude and c != self.key_col]
+        old = cur.select(
+            self.key_col,
+            F.struct(*cmp_cols).alias("_old_cmp"))
+        joined = new_df.alias("n").join(old, on=self.key_col, how="left")
+        new_cmp = F.struct(*[F.col(f"n.{c}") for c in cmp_cols])
+        is_new = F.col("_old_cmp").isNull()
+        is_changed = ~is_new & ~new_cmp.eqNullSafe(F.col("_old_cmp"))
+        changed = joined.filter(is_new | is_changed)
+        to_write = changed.select([F.col(f"n.{c}") for c in new_df.columns])
+        stats_row = joined.select(
+            F.sum(is_new.cast("int")).alias("ins"),
+            F.sum(is_changed.cast("int")).alias("upd"),
+            F.count("*").alias("total")).collect()[0]
+        inserted, updated = int(stats_row["ins"] or 0), int(stats_row["upd"] or 0)
+        snap = None
+        if inserted + updated > 0:
+            snap = self.commit(to_write)
+        return {"inserted": inserted, "updated": updated,
+                "unchanged": int(stats_row["total"]) - inserted - updated,
+                "snapshot_id": snap}
+
+    def delete_keys(self, spark: SparkSession, keys: list) -> int | None:
+        """Delete by key via tombstone rows (SURVEY.md B7)."""
+        from pyspark.sql import functions as F
+        cur = self.read_current(spark)
+        if cur is None:
+            return None
+        victims = cur.filter(F.col(self.key_col).isin(keys)) \
+            .withColumn("_deleted", F.lit(True))
+        if victims.isEmpty():
+            return None
+        return self.commit(victims)
 
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:
         df = self.read(spark)

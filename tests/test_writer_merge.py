@@ -1,0 +1,77 @@
+"""Snapshot-table MERGE semantics: diff-update with no-op elision
+(B6, vector excluded from comparison), delete tombstones (B7),
+replace-on-key current reads (B5), time travel (B12)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from resume_parser_service_spark.pipeline.writer import SnapshotTable
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["url", "text", "vector"])
+    return spark.createDataFrame(
+        pdf, "url string, text string, vector array<float>")
+
+
+def test_merge_insert_update_elide(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    r1 = tbl.merge_upsert(spark, _df(spark, [
+        ("u1", "alpha", [1.0]), ("u2", "beta", [2.0])]))
+    assert r1 == {"inserted": 2, "updated": 0, "unchanged": 0,
+                  "snapshot_id": 1}
+
+    # u1 unchanged, u2 text changed, u3 new
+    r2 = tbl.merge_upsert(spark, _df(spark, [
+        ("u1", "alpha", [1.0]), ("u2", "beta2", [2.0]),
+        ("u3", "gamma", [3.0])]))
+    assert r2["inserted"] == 1
+    assert r2["updated"] == 1
+    assert r2["unchanged"] == 1
+
+    cur = tbl.read_current(spark)
+    state = {r["url"]: r["text"] for r in cur.collect()}
+    assert state == {"u1": "alpha", "u2": "beta2", "u3": "gamma"}
+
+
+def test_merge_excludes_vector_from_diff(spark, tmp_path):
+    """Vector-only change is a no-op update — the reference's diff
+    excludes ``vector`` (/root/reference/app/services/resume_service.py:
+    220-223)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "alpha", [1.0])]))
+    r = tbl.merge_upsert(spark, _df(spark, [("u1", "alpha", [9.0])]))
+    assert r == {"inserted": 0, "updated": 0, "unchanged": 1,
+                 "snapshot_id": None}
+
+
+def test_delete_tombstone(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [
+        ("u1", "alpha", [1.0]), ("u2", "beta", [2.0])]))
+    snap = tbl.delete_keys(spark, ["u1"])
+    assert snap == 2
+    cur = tbl.read_current(spark)
+    assert [r["url"] for r in cur.collect()] == ["u2"]
+    # deleting a missing key is a no-op
+    assert tbl.delete_keys(spark, ["nope"]) is None
+
+
+def test_time_travel_sees_pre_update_state(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "alpha", [1.0])]))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "alpha2", [1.0])]))
+    v1 = tbl.read_current(spark, version=1)
+    assert v1.collect()[0]["text"] == "alpha"
+    assert tbl.read_current(spark).collect()[0]["text"] == "alpha2"
+
+
+def test_null_fields_compare_null_safe(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [("u1", None, [1.0])]))
+    # same null text -> unchanged (null-safe equality)
+    r = tbl.merge_upsert(spark, _df(spark, [("u1", None, [1.0])]))
+    assert r["unchanged"] == 1 and r["updated"] == 0
+    # null -> value is a change
+    r2 = tbl.merge_upsert(spark, _df(spark, [("u1", "now-set", [1.0])]))
+    assert r2["updated"] == 1

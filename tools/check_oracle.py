@@ -7,7 +7,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 sys.path.insert(0, ".")
