@@ -512,6 +512,63 @@ SELECT doc_id,
                      x -> length(x))) as int) AS total_token_chars
 FROM documents ORDER BY doc_id""")
 
+    # --- map functions (exam map<string,string> shape, SURVEY.md §2D) ---
+    # Spark side builds and explodes a real MapType column; the oracle
+    # only has to produce the same (doc_id, key, value) rows.
+    c["map_explode"] = _sql("""
+SELECT doc_id, key, value FROM (
+  SELECT doc_id, explode(map('lang', lang, 'source', source))
+         AS (key, value)
+  FROM documents) t
+ORDER BY doc_id, key""",
+        duck_sql="""
+SELECT doc_id, 'lang' AS key, lang AS value FROM documents
+UNION ALL
+SELECT doc_id, 'source' AS key, source AS value FROM documents
+ORDER BY doc_id, key""")
+
+    c["map_keys_values"] = _sql("""
+SELECT doc_id,
+       concat_ws(',', map_keys(map('lang', lang, 'source', source)))
+         AS keys_csv,
+       concat_ws(',', map_values(map('lang', lang, 'source', source)))
+         AS values_csv
+FROM documents ORDER BY doc_id""",
+        duck_sql="""
+SELECT doc_id, 'lang,source' AS keys_csv,
+       concat(lang, ',', source) AS values_csv
+FROM documents ORDER BY doc_id""")
+
+    # --- collect aggregation (deterministic via sort) ---
+    c["collect_sources_per_lang"] = _sql("""
+SELECT lang,
+       concat_ws(',', sort_array(collect_set(source))) AS sources_csv,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang""",
+        duck_sql="""
+SELECT lang,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang""")
+
+    # --- grouping sets ---
+    c["grouping_sets_metrics"] = _sql("""
+SELECT lang, source, count(*) AS n_docs
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+ORDER BY lang NULLS FIRST, source NULLS FIRST""")
+
+    # --- approximate aggregation (HLL impls differ across engines ->
+    # rows-only check; exact companions are oracle-checked elsewhere) ---
+    def _q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql("""
+            SELECT event_type,
+                   approx_count_distinct(user_id) AS approx_users,
+                   count(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type ORDER BY event_type""")
+    c["approx_count_distinct"] = (_q_approx, None)
+
     # --- json functions (events.props; A8 defensive ingest) ---
     c["json_extract_props"] = _sql("""
 SELECT event_type,

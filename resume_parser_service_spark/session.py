@@ -37,6 +37,11 @@ def get_spark(app_name: str = "resume-parser-service-spark",
         # html rows are up to 10 MB; keep Arrow batches small (spill risk)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # scan splits scale with cores (3 waves) so one straggler task
+        # cannot idle the rest of the executor at any parallelism level
+        .config("spark.sql.files.minPartitionNum",
+                str(max(24, shuffle_partitions * 3 // 2)))
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
