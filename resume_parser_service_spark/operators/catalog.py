@@ -331,6 +331,39 @@ SELECT c.c_custkey, c.c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 ORDER BY c.c_custkey""")
 
+    c["shipping_priority"] = _sql("""
+SELECT o.o_orderkey,
+       round(cast(sum(cast(l.l_extendedprice as decimal(18,2)) *
+           cast(1 - l.l_discount as decimal(18,2))) as double), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND l.l_shipdate > timestamp '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 20""")
+
+    c["parts_by_brand"] = _sql("""
+SELECT p.p_brand, p.p_type, count(*) AS n_parts,
+       round(cast(sum(cast(p.p_retailprice as decimal(18,2))) as double), 2)
+         AS total_price,
+       max(p.p_size) AS max_size
+FROM part p
+WHERE p.p_size BETWEEN 1 AND 25
+GROUP BY p.p_brand, p.p_type
+ORDER BY p_brand, p_type""")
+
+    c["supplier_lineitem_volume"] = _sql("""
+SELECT s.s_name, n.n_name AS nation, count(*) AS n_items,
+       round(cast(sum(cast(l.l_quantity as decimal(18,2))) as double), 2)
+         AS total_qty
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY s.s_name, n.n_name
+ORDER BY total_qty DESC, s_name LIMIT 25""")
+
     # --- sort / limit / top-k ---
     c["topk_largest_docs"] = _sql("""
 SELECT doc_id, source, n_chars FROM documents

@@ -26,10 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["SnapshotTable"]
 
 
+def _hash60_py(s: str) -> int:
+    """Python twin of functions.hash60 (first 15 hex digits of md5) —
+    lets the driver compute a row's bucket without a Spark job."""
+    import hashlib
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 class SnapshotTable:
-    def __init__(self, root: str, key_col: str = "url"):
+    def __init__(self, root: str, key_col: str = "url",
+                 buckets: int | None = None):
+        """``buckets``: hash-bucket the data files by key (B11 index
+        layout) — point lookups then read 1/buckets of the files."""
         self.root = root
         self.key_col = key_col
+        self.buckets = buckets
         self.snap_dir = os.path.join(root, "_snapshots")
         os.makedirs(self.snap_dir, exist_ok=True)
 
@@ -64,7 +75,15 @@ class SnapshotTable:
         out = out.withColumn("_snapshot_id", F.lit(snap_id).cast("long"))
         if "_deleted" not in out.columns:
             out = out.withColumn("_deleted", F.lit(False))
-        out.write.mode("overwrite").parquet(path)
+        if self.buckets:
+            bucket = F.pmod(
+                F.conv(F.substring(F.md5(F.col(self.key_col)), 1, 15),
+                       16, 10).cast("bigint"),
+                F.lit(self.buckets))
+            out = out.withColumn("_bucket", bucket)
+            out.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
         manifest = {"id": snap_id, "parent": last["id"] if last else None,
                     "path": rel, "committed_at": time.time()}
         tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -81,7 +100,37 @@ class SnapshotTable:
                  if version is None or s["id"] <= version]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        if not self.buckets:
+            return spark.read.parquet(*paths)
+        # bucketed layout: each snapshot dir is its own partitioned base
+        df = None
+        for p in paths:
+            part = spark.read.option("basePath", p).parquet(p)
+            df = part if df is None else df.unionByName(part)
+        return df
+
+    def point_lookup(self, spark: SparkSession, key: str) -> DataFrame:
+        """B1 point lookup. With a bucketed layout only the key's bucket
+        directory of each snapshot is scanned (1/buckets of the files);
+        unbucketed tables fall back to a filtered full read."""
+        from pyspark.sql import functions as F
+        if self.buckets:
+            b = _hash60_py(key) % self.buckets
+            paths = [os.path.join(self.root, s["path"], f"_bucket={b}")
+                     for s in self.snapshots()]
+            paths = [p for p in paths if os.path.exists(p)]
+            if not paths:
+                return spark.createDataFrame([], "url string")
+            df = spark.read.parquet(*paths)
+        else:
+            df = self.read(spark)
+        rest = [c for c in df.columns if c != self.key_col]
+        cur = (df.filter(F.col(self.key_col) == key)
+               .groupBy(self.key_col)
+               .agg(F.max_by(F.struct(*rest), F.col("_snapshot_id"))
+                    .alias("_row"))
+               .select(self.key_col, "_row.*"))
+        return cur.filter(~F.col("_deleted")).drop("_deleted")
 
     def read_current(self, spark: SparkSession,
                      version: int | None = None) -> DataFrame | None:

@@ -75,3 +75,26 @@ def test_null_fields_compare_null_safe(spark, tmp_path):
     # null -> value is a change
     r2 = tbl.merge_upsert(spark, _df(spark, [("u1", "now-set", [1.0])]))
     assert r2["updated"] == 1
+
+
+def test_bucketed_point_lookup(spark, tmp_path):
+    """B11 layout: point lookup scans only the key's bucket dir."""
+    import os
+    tbl = SnapshotTable(str(tmp_path / "b"), buckets=8)
+    rows = [(f"u{i}", f"text{i}", [float(i)]) for i in range(50)]
+    tbl.merge_upsert(spark, _df(spark, rows))
+    tbl.merge_upsert(spark, _df(spark, [("u7", "text7-v2", [7.0])]))
+
+    hit = tbl.point_lookup(spark, "u7").collect()
+    assert len(hit) == 1
+    assert hit[0]["text"] == "text7-v2"
+    assert tbl.point_lookup(spark, "nope").count() == 0
+
+    # the bucket layout exists on disk
+    snap = tbl.snapshots()[0]
+    snap_dir = os.path.join(tbl.root, snap["path"])
+    assert any(d.startswith("_bucket=") for d in os.listdir(snap_dir))
+
+    # read_current still resolves replace-on-key across snapshots
+    cur = {r["url"]: r["text"] for r in tbl.read_current(spark).collect()}
+    assert cur["u7"] == "text7-v2" and len(cur) == 50
