@@ -37,7 +37,10 @@ def ensure_corpus(spark, n_docs: int, cache_root: str) -> str:
     path = os.path.join(cache_root, f"pages_n{n_docs}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        build_pages_df(spark, n_docs, partitions=256).write \
+        # ~500 docs per file: enough files for 3 waves on 32 cores
+        # without tiny-file overhead at small corpus sizes
+        n_files = max(48, min(512, n_docs // 500))
+        build_pages_df(spark, n_docs, partitions=n_files).write \
             .mode("overwrite").parquet(path)
     return path
 
