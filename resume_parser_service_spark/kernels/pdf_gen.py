@@ -84,12 +84,18 @@ def _content_stream(page_text: str) -> bytes:
 
 
 def make_pdf(pages: list[str], links: list[str] | None = None,
-             compress: bool = True) -> bytes:
+             compress: bool = True, xref_stream: bool = False,
+             objstm: bool = False) -> bytes:
     """Build a deterministic multi-page PDF carrying ``pages`` texts.
 
     ``links`` become ``/URI`` link annotations on page 1 (order kept),
     mirroring the link semantics the reference extracts
     (/root/reference/app/services/resume_parser.py:198-222).
+
+    ``xref_stream=True`` emits a PDF 1.5 cross-reference STREAM instead
+    of a classic table; ``objstm=True`` additionally packs all
+    non-stream objects into a compressed object stream — the layout of
+    modern tooling output, exercising the parser's 7.5.7/7.5.8 paths.
     """
     if not pages:
         raise ValueError("need at least one page")
@@ -138,6 +144,8 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
             b" /A << /Type /Action /S /URI /URI (" % (y1, y1 + 14) +
             _esc_pdf_string(uri) + b") >> >>")
 
+    if xref_stream:
+        return _serialize_modern(objs, objstm)
     # Serialize with a classic xref table.
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     max_obj = max(objs)
@@ -152,4 +160,64 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
         out += b"%010d 00000 n \n" % offsets[num]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (max_obj + 1, xref_pos))
+    return bytes(out)
+
+
+def _serialize_modern(objs: dict[int, bytes], objstm: bool) -> bytes:
+    """Serialize with a PDF 1.5 XRef stream; optionally pack non-stream
+    objects into a compressed /ObjStm."""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    max_obj = max(objs)
+    entries: dict[int, tuple] = {}  # num -> ("off", o) | ("stm", s, i)
+
+    packed: list[int] = []
+    if objstm:  # stream objects may not live in an ObjStm (spec 7.5.7)
+        packed = [n for n in sorted(objs) if b"\nstream\n" not in objs[n]]
+    loose = [n for n in sorted(objs) if n not in packed]
+
+    stm_num = max_obj + 1 if packed else None
+    if packed:
+        header = bytearray()
+        bodies = bytearray()
+        for i, n in enumerate(packed):
+            header += b"%d %d " % (n, len(bodies))
+            bodies += objs[n] + b"\n"
+            entries[n] = ("stm", stm_num, i)
+        payload = bytes(header) + bytes(bodies)
+        comp = zlib.compress(payload, 9)
+        stm_body = (b"<< /Type /ObjStm /N %d /First %d /Length %d"
+                    b" /Filter /FlateDecode >>\nstream\n"
+                    % (len(packed), len(header), len(comp))) + comp + \
+            b"\nendstream"
+        objs = dict(objs)
+        objs[stm_num] = stm_body
+        loose = loose + [stm_num]
+
+    for n in loose:
+        entries[n] = ("off", len(out))
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+
+    xref_num = (stm_num or max_obj) + 1
+    xref_pos = len(out)
+    size = xref_num + 1
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for n in range(1, size):
+        if n == xref_num:
+            rows += bytes([1]) + xref_pos.to_bytes(4, "big") + b"\x00\x00"
+        elif n in entries:
+            kind = entries[n]
+            if kind[0] == "off":
+                rows += bytes([1]) + int(kind[1]).to_bytes(4, "big") + b"\x00\x00"
+            else:
+                rows += (bytes([2]) + int(kind[1]).to_bytes(4, "big") +
+                         int(kind[2]).to_bytes(2, "big"))
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + b"\xff\xff"
+    comp_rows = zlib.compress(bytes(rows), 9)
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xref_num, size, len(comp_rows)))
+    out += comp_rows + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

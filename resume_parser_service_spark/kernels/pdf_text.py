@@ -251,7 +251,7 @@ class _Document:
         if "Root" not in self.trailer:
             raise PdfError("no /Root in trailer")
 
-    # -- xref chain
+    # -- xref chain (classic tables and PDF 1.5+ xref streams)
     def _load_xref(self):
         data = self.data
         tail = data[-2048:]
@@ -266,7 +266,8 @@ class _Document:
             seen.add(pos)
             pos = _skip_ws(data, pos)
             if not data.startswith(b"xref", pos):
-                raise PdfError("xref stream / bad xref offset")
+                pos = self._load_xref_stream(pos)
+                continue
             p = pos + 4
             while True:
                 p = _skip_ws(data, p)
@@ -291,6 +292,89 @@ class _Document:
                     if m3.group(3) == b"n" and num not in self.offsets:
                         self.offsets[num] = int(m3.group(1))
                     p = m3.end()
+
+    def _load_xref_stream(self, pos: int) -> int:
+        """PDF 1.5+ cross-reference stream (spec 7.5.8). Entries are
+        fixed-width binary rows [type, field2, field3] with widths /W;
+        type 1 = direct offset, type 2 = (object stream, index).
+        Returns the /Prev offset (0 ends the chain)."""
+        data = self.data
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", data[pos:pos + 64])
+        if not m:
+            raise PdfError("bad xref stream offset")
+        obj, _ = _parse_object(data, pos + m.end())
+        if not isinstance(obj, _Stream) or obj.dict.get("Type") != "XRef":
+            raise PdfError("not an XRef stream")
+        length = obj.dict.get("Length")
+        if isinstance(length, int) and 0 <= length <= len(obj.raw):
+            obj = _Stream(obj.dict, obj.raw[:length])
+        body = self.stream_data(obj)
+        if body is None:
+            raise PdfError("undecodable XRef stream")
+        w = obj.dict.get("W")
+        size = obj.dict.get("Size", 0)
+        if not (isinstance(w, list) and len(w) >= 3):
+            raise PdfError("bad /W")
+        w = [int(x) for x in w[:3]]
+        index = obj.dict.get("Index") or [0, size]
+        rowlen = sum(w)
+
+        def field(row: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(row[start:start + width], "big")
+
+        ri = 0
+        for k in range(0, len(index) - 1, 2):
+            first, count = int(index[k]), int(index[k + 1])
+            for i in range(count):
+                row = body[ri * rowlen:(ri + 1) * rowlen]
+                ri += 1
+                if len(row) < rowlen:
+                    break
+                typ = field(row, 0, w[0], 1)
+                f2 = field(row, w[0], w[1], 0)
+                f3 = field(row, w[0] + w[1], w[2], 0)
+                num = first + i
+                if num in self.offsets:
+                    continue
+                if typ == 1:
+                    self.offsets[num] = f2
+                elif typ == 2:
+                    self.offsets[num] = ("objstm", f2, f3)
+        for k, v in obj.dict.items():
+            if k not in ("Type", "W", "Index", "Length", "Filter",
+                         "DecodeParms"):
+                self.trailer.setdefault(k, v)
+        return obj.dict.get("Prev", 0)
+
+    def _objstm_get(self, stm_num: int, idx: int):
+        """Fetch object ``idx`` from object stream ``stm_num``
+        (spec 7.5.7: header of N (objnum, offset) pairs, then bodies
+        starting at /First)."""
+        stm = self.get(stm_num)
+        if not isinstance(stm, _Stream):
+            return None
+        body = self.stream_data(stm)
+        if body is None:
+            return None
+        n = self.resolve(stm.dict.get("N")) or 0
+        first = self.resolve(stm.dict.get("First")) or 0
+        pairs = []
+        p = 0
+        for _ in range(int(n)):
+            m1 = _NUM_RE.match(body, _skip_ws(body, p))
+            if not m1:
+                break
+            m2 = _NUM_RE.match(body, _skip_ws(body, m1.end()))
+            if not m2:
+                break
+            pairs.append((int(m1.group(0)), int(m2.group(0))))
+            p = m2.end()
+        if idx >= len(pairs):
+            return None
+        obj, _ = _parse_object(body, int(first) + pairs[idx][1])
+        return obj
 
     # -- fallback: brute scan of "N G obj"
     def _scan_objects(self):
@@ -322,6 +406,10 @@ class _Document:
         off = self.offsets.get(num)
         if off is None:
             return None
+        if isinstance(off, tuple):  # ("objstm", stream_obj_num, index)
+            obj = self._objstm_get(off[1], off[2])
+            self._cache[num] = obj
+            return obj
         data = self.data
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", data[off:off + 64])
         if not m:

@@ -198,9 +198,11 @@ def synth_doc(doc_id: int, dup: bool = False) -> dict:
     lang = _LANG_WHEEL[doc_id % len(_LANG_WHEEL)]
     ts = _EPOCH + timedelta(seconds=doc_id % 2_592_000,
                             hours=(6 if dup else 0))
-    if doc_id % 10 < 3:  # 30% PDFs (resumes)
+    if doc_id % 10 < 3:  # 30% PDFs (resumes); mix of file layouts
         text, links = _resume_text(rng)
-        html = make_pdf(_pdf_pages_from_text(text), links)
+        html = make_pdf(_pdf_pages_from_text(text), links,
+                        xref_stream=doc_id % 10 < 2,   # PDF 1.5 xref stream
+                        objstm=doc_id % 10 == 0)       # + object stream
     else:  # 70% HTML articles
         paragraphs = _article_text(rng)
         text = "\n".join(paragraphs)

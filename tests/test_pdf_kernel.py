@@ -91,3 +91,17 @@ def test_determinism():
     data = make_pdf(["deterministic?\nyes"], ["https://x.example"])
     assert extract_pdf(data) == extract_pdf(data)
     assert make_pdf(["deterministic?\nyes"], ["https://x.example"]) == data
+
+
+def test_roundtrip_xref_stream():
+    pages = ["XRef stream layout\nline two", "second page"]
+    res = extract_pdf(make_pdf(pages, xref_stream=True))
+    assert res["text"] == "\n\n".join(pages)
+
+
+def test_roundtrip_object_stream():
+    pages = ["ObjStm layout\nline two"]
+    links = ["https://github.com/modern"]
+    res = extract_pdf(make_pdf(pages, links, xref_stream=True, objstm=True))
+    assert res["text"] == pages[0]
+    assert res["links"] == links
