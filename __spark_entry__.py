@@ -18,6 +18,8 @@ from resume_parser_service_spark.operators.catalog import (build_catalog,
                                                            register_views)
 from resume_parser_service_spark.operators.extract_queries import (
     extract_oracles, extract_queries)
+from resume_parser_service_spark.operators.udf_queries import (udf_oracles,
+                                                               udf_queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out = {name: fn for name, (fn, _oracle) in build_catalog().items()}
     out.update(extract_queries())
+    out.update(udf_queries())
     return out
 
 
@@ -54,4 +57,5 @@ def oracle_sql() -> dict[str, str]:
     out = {name: oracle for name, (_fn, oracle) in build_catalog().items()
            if oracle is not None}
     out.update(extract_oracles())
+    out.update(udf_oracles())
     return out

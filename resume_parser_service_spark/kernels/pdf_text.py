@@ -240,6 +240,7 @@ class _Document:
             raise PdfError("missing %PDF header")
         self.data = data
         self._cache: dict[int, object] = {}
+        self._font_cache: dict = {}  # doc-level: fonts shared across pages
         self.offsets: dict[int, int] = {}
         self.trailer: dict = {}
         try:
@@ -756,8 +757,14 @@ def _run_content(doc: _Document, content: bytes, res: dict,
 
     def get_font(name: str) -> _Font | None:
         if name not in fonts:
-            fd = doc.resolve(font_res.get(name)) if isinstance(font_res, dict) else None
-            fonts[name] = _Font(doc, fd) if isinstance(fd, dict) else _Font(doc, {})
+            raw = font_res.get(name) if isinstance(font_res, dict) else None
+            key = raw.num if isinstance(raw, _Ref) else id(raw)
+            cached = doc._font_cache.get(key)
+            if cached is None:
+                fd = doc.resolve(raw)
+                cached = _Font(doc, fd if isinstance(fd, dict) else {})
+                doc._font_cache[key] = cached
+            fonts[name] = cached
         return fonts[name]
 
     runs: list[tuple[float, float, float, str]] = []
