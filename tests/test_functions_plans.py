@@ -108,3 +108,21 @@ def test_dedup_shuffles_once(spark):
                     "text", "lang")
     extracted, _ = extract_pages(pages, dedup=True)
     assert count_exchanges(extracted) == 1
+
+
+def test_catalog_join_broadcasts_dims(spark):
+    """join_revenue_by_nation must broadcast nation (25 rows)."""
+    from resume_parser_service_spark.operators.catalog import build_catalog
+    fn, _ = build_catalog()["join_revenue_by_nation"]
+    assert has_broadcast_join(fn(spark, SF_DIR))
+
+
+def test_catalog_pricing_summary_pushes_shipdate(spark):
+    from resume_parser_service_spark.operators.catalog import build_catalog
+    fn, _ = build_catalog()["pricing_summary"]
+    pf = pushed_filters(fn(spark, SF_DIR))
+    assert any("l_shipdate" in f for f in pf)
+    cols = scan_read_schema(fn(spark, SF_DIR))
+    # column pruning: only the 5 needed lineitem columns are read
+    assert set(cols) <= {"l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_shipdate"}

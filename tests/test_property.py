@@ -1,0 +1,82 @@
+"""Property-based kernel tests (hypothesis): the byte-identity
+round-trip must hold for ARBITRARY corpus-legal inputs, not just the
+generator's vocabulary; malformed inputs must fail closed (PdfError),
+never hang or corrupt."""
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from resume_parser_service_spark.kernels.html_text import extract_html
+from resume_parser_service_spark.kernels.pdf_gen import make_pdf
+from resume_parser_service_spark.kernels.pdf_text import PdfError, extract_pdf
+
+# corpus-legal line: printable latin-1, no leading/trailing space, non-empty
+_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                           exclude_characters="\x7f\xa0\xad"),
+    min_size=1, max_size=60,
+).map(lambda s: s.strip()).filter(lambda s: s)
+
+_page = st.lists(_line, min_size=1, max_size=12).map("\n".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages=st.lists(_page, min_size=1, max_size=3),
+       modern=st.booleans(), packed=st.booleans())
+def test_pdf_roundtrip_property(pages, modern, packed):
+    pdf = make_pdf(pages, xref_stream=modern, objstm=modern and packed)
+    res = extract_pdf(pdf)
+    assert res["text"] == "\n\n".join(pages)
+    assert res["n_pages"] == len(pages)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_pdf_garbage_fails_closed(data):
+    """Arbitrary bytes: either a structured PdfError or (if it happens
+    to parse) a plain result — never a hang or unexpected exception."""
+    try:
+        res = extract_pdf(b"%PDF-1.4\n" + data)
+        assert isinstance(res["text"], str)
+    except (PdfError, ValueError, KeyError, IndexError, zlib.error):
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(truncate_at=st.integers(min_value=9, max_value=400))
+def test_pdf_truncation_fails_closed(truncate_at):
+    pdf = make_pdf(["some text that will be cut", "second page"])
+    data = pdf[:truncate_at]
+    try:
+        res = extract_pdf(data)
+        assert isinstance(res["text"], str)
+    except (PdfError, ValueError, KeyError, IndexError, zlib.error):
+        pass
+
+
+_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                min_size=1, max_size=12)
+_paragraph = st.lists(_word, min_size=3, max_size=30).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(paragraphs=st.lists(_paragraph, min_size=1, max_size=5))
+def test_html_roundtrip_property(paragraphs):
+    body = "".join(f"<p>{p}</p>" for p in paragraphs)
+    html = (f"<html><head><style>p{{x}}</style></head><body>"
+            f"<nav><a href='/a'>aa</a><a href='/b'>bb</a></nav>"
+            f"<article>{body}</article>"
+            f"<footer><a href='/t'>tos</a> fine print</footer>"
+            f"</body></html>").encode()
+    kept = [p for p in paragraphs if len(p) >= 8]
+    assert extract_html(html)["text"] == "\n".join(kept)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_html_never_raises(data):
+    res = extract_html(b"<html><body>" + data + b"</body></html>")
+    assert isinstance(res["text"], str)
+    assert isinstance(res["links"], list)
