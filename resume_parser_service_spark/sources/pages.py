@@ -112,8 +112,12 @@ def _resume_text(rng: random.Random) -> tuple[str, list[str]]:
         y0 = rng.randrange(2008, 2018)
         y1 = y0 + rng.randrange(2, 6)
         grade = f"{rng.randrange(60, 110)}/110"
-        edu_blocks.append("\n".join([f"{level} in {field}", school,
-                                     f"{y0} - {y1}", f"Grade: {grade}"]))
+        lines = [f"{level} in {field}", school, f"{y0} - {y1}",
+                 f"Grade: {grade}"]
+        if rng.random() < 0.4:  # exercise the exam map<string,string>
+            for mod in rng.sample(_FIELDS, 2):
+                lines.append(f"Exam {mod}: {rng.randrange(18, 31)}/30")
+        edu_blocks.append("\n".join(lines))
     if rng.random() < 0.3:
         edu_blocks.append("Merit Scholarship: awarded for academic excellence")
 

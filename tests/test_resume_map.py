@@ -159,3 +159,21 @@ def test_embed_deterministic():
     norm = sum(x * x for x in v1) ** 0.5
     assert abs(norm - 1.0) < 1e-5
     assert embed_text("") == [0.0] * EMBED_DIM
+
+
+def test_reference_pdf_mapper_goldens():
+    """Frozen end-to-end goldens: reference PDF -> kernel text -> mapper
+    struct -> canonical JSON. Regenerate deliberately on kernel bumps."""
+    import os
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    for f in ["resume1.pdf", "resume2.pdf", "resume3.pdf",
+              "FedericoElia.pdf", "CVENG.pdf"]:
+        src = f"/root/reference/{f}"
+        if not os.path.exists(src):
+            import pytest
+            pytest.skip("reference fixtures not present")
+        r = extract_pdf(open(src, "rb").read())
+        m = map_resume(r["text"], r["links"])
+        golden = open(os.path.join(golden_dir, f + ".resume.json")).read()
+        assert canonical_resume_json(m) == golden
