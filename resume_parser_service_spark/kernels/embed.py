@@ -14,6 +14,7 @@ vector L2-normalized (zero vector stays zero). float32 throughout.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -27,13 +28,19 @@ KERNEL_VERSION = "embed-1.0.0"
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _bucket(tok: str, dim: int) -> tuple[int, float]:
+    """Token -> (bucket, sign). Cached: corpus vocabularies are Zipfian,
+    so the md5 is computed once per frequent token per worker."""
+    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+    return int(h[:8], 16) % dim, (1.0 if int(h[8], 16) % 2 == 0 else -1.0)
+
+
 def embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
     vec = np.zeros(dim, dtype=np.float32)
     if text:
         for tok in _TOKEN_RE.findall(text.lower()):
-            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-            idx = int(h[:8], 16) % dim
-            sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+            idx, sign = _bucket(tok, dim)
             vec[idx] += sign
         norm = float(np.linalg.norm(vec))
         if norm > 0:

@@ -620,8 +620,23 @@ class _Font:
                     for i in range(0, len(raw) - 1, 2)]
         return list(raw)
 
+    def _tables(self):
+        """Lazy per-font lookup tables for the 1-byte fast path."""
+        trans = {}
+        wtab = []
+        for b in range(256):
+            trans[b] = self.cmap.get(
+                b, chr(b) if 32 <= b < 127 or b >= 160 else "")
+            wtab.append(self.widths.get(b, self.default_width))
+        self._trans = trans
+        self._wtab = wtab
+        return trans, wtab
+
     def text_width(self, raw: bytes) -> float:
         """Total advance in glyph-space units (em/1000)."""
+        if not self.two_byte:
+            wtab = getattr(self, "_wtab", None) or self._tables()[1]
+            return sum(map(wtab.__getitem__, raw))
         return sum(self.widths.get(c, self.default_width)
                    for c in self.codes(raw))
 
@@ -669,15 +684,10 @@ class _Font:
                     pos = e.end(4)
 
     def decode(self, raw: bytes) -> str:
-        out = []
-        if self.two_byte:
-            for code in self.codes(raw):
-                out.append(self.cmap.get(code, ""))
-        else:
-            for b in raw:
-                out.append(self.cmap.get(
-                    b, chr(b) if 32 <= b < 127 or b >= 160 else ""))
-        return "".join(out)
+        if not self.two_byte:
+            trans = getattr(self, "_trans", None) or self._tables()[0]
+            return raw.decode("latin-1").translate(trans)
+        return "".join(self.cmap.get(code, "") for code in self.codes(raw))
 
 
 def _utf16_hex(h: bytes) -> str:
