@@ -25,22 +25,66 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.0.0"
+KERNEL_VERSION = "map-1.1.0"
 
 _SECTION_HEADERS = {
     "education": "education",
+    "education and training": "education",
+    "academic studies": "education",
+    "ongoing studies": "education",
     "experience": "experience",
     "work experience": "experience",
+    "work experiences": "experience",
     "employment": "experience",
     "projects": "projects",
     "achievements": "achievements",
     "awards": "achievements",
     "certifications": "certifications",
+    "certificates": "certifications",
     "languages": "languages",
+    "language skills": "languages",
     "interests": "interests",
     "skills": "skills",
     "summary": "summary",
 }
+
+# keyword fallback for header-shaped lines (ALL-CAPS, <=5 words) that
+# don't match an exact alias — order encodes routing priority (e.g.
+# "FOREIGN LANGUAGE SKILLS" is languages, not skills)
+_HEADER_KEYWORDS = [
+    ("languag", "languages"),
+    ("certificat", "certifications"),
+    ("award", "achievements"),
+    ("accolade", "achievements"),
+    ("achievement", "achievements"),
+    ("project", "projects"),
+    ("interest", "interests"),
+    ("hobbies", "interests"),
+    ("education", "education"),
+    ("studies", "education"),
+    ("training", "education"),
+    ("experience", "experience"),
+    ("employment", "experience"),
+    ("skill", "skills"),
+    ("competenc", "skills"),
+    ("summary", "summary"),
+    ("profile", "summary"),
+]
+
+
+def _header_kind(line: str) -> str | None:
+    s = line.strip().rstrip(":").strip()
+    if not s:
+        return None
+    kind = _SECTION_HEADERS.get(s.lower())
+    if kind:
+        return kind
+    if s.isupper() and len(s.split()) <= 5:
+        low = s.lower()
+        for kw, k in _HEADER_KEYWORDS:
+            if kw in low:
+                return k
+    return None
 
 _EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 _PHONE_RE = re.compile(r"(\+\d{1,3})?[ .]?(\(?\d{2,4}\)?[ .-]?\d{3}[ .-]?\d{3,6})")
@@ -77,10 +121,10 @@ def _split_sections(text: str) -> list[tuple[str, list[str]]]:
     unlabeled lines form the ("head", ...) section."""
     sections: list[tuple[str, list[str]]] = [("head", [])]
     for line in text.split("\n"):
-        key = _SECTION_HEADERS.get(line.strip().rstrip(":").lower())
-        if key and line.strip() == line.strip().rstrip(":") + "" and (
-                line.strip().isupper() or line.strip().istitle()
-                or line.strip().rstrip(":").isupper()):
+        s = line.strip()
+        key = _header_kind(line)
+        if key and (s.isupper() or s.istitle()
+                    or s.rstrip(":").isupper()):
             sections.append((key, []))
         else:
             sections[-1][1].append(line)
