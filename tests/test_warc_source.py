@@ -1,0 +1,65 @@
+"""WARC connector: fixture round-trip through the full extraction job."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from resume_parser_service_spark.kernels.pdf_gen import make_pdf
+from resume_parser_service_spark.pipeline.run import run_extraction_job
+from resume_parser_service_spark.pipeline.writer import SnapshotTable
+from resume_parser_service_spark.sources.warc import (make_warc, parse_warc,
+                                                      read_warc)
+
+_TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _records():
+    return [
+        {"url": "https://a.example/doc1", "warc_ts": _TS,
+         "payload": make_pdf(["Doc one text\nsecond line"])},
+        {"url": "https://a.example/doc2", "warc_ts": _TS,
+         "payload": b"<html><body><nav><a href='/x'>x</a></nav>"
+                    b"<article><p>plain web page body content here"
+                    b"</p></article></body></html>"},
+        {"url": "https://a.example/doc3", "warc_ts": _TS,
+         "payload": b"\x89PNG\r\n\x1a\n not text"},
+    ]
+
+
+def test_parse_warc_roundtrip():
+    raw = make_warc(_records())
+    recs = parse_warc(raw)
+    assert [r["url"] for r in recs] == [r["url"] for r in _records()]
+    assert recs[0]["payload"][:4] == b"%PDF"
+    assert recs[0]["warc_ts"].year == 2024
+
+
+def test_parse_warc_gzip():
+    raw = make_warc(_records(), compress=True)
+    assert len(parse_warc(raw)) == 3
+
+
+def test_warc_to_extraction_job(spark, tmp_path):
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    (warc_dir / "crawl-00000.warc").write_bytes(make_warc(_records()))
+    (warc_dir / "crawl-00001.warc.gz").write_bytes(
+        make_warc([{"url": "https://b.example/doc4", "warc_ts": _TS,
+                    "payload": make_pdf(["Doc four"])}], compress=True))
+
+    pages = read_warc(spark, str(warc_dir))
+    assert pages.count() == 4
+
+    stats = run_extraction_job(spark, pages, str(tmp_path / "out"))
+    # 3 extractable docs; the PNG payload is rejected pre-kernel
+    assert stats["extracted"] == 3
+    assert stats["rejected"] == 1
+    ext = SnapshotTable(str(tmp_path / "out/resumes_extracted")).read(spark)
+    got = {r["url"]: r["text"] for r in ext.collect()}
+    assert got["https://a.example/doc1"] == "Doc one text\nsecond line"
+    assert got["https://a.example/doc2"] == "plain web page body content here"
+    assert got["https://b.example/doc4"] == "Doc four"
+    # the PNG payload is typed invalid -> audited, not extracted
+    audit = SnapshotTable(str(tmp_path / "out/extraction_audit")).read(spark)
+    bad = audit.filter(F.col("url") == "https://a.example/doc3").collect()
+    assert bad[0]["error_class"] == "InvalidFileTypeError"
