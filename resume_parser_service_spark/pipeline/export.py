@@ -1,0 +1,47 @@
+"""Export sinks for the extracted table.
+
+``export_resume_jsonl`` writes the canonical single-line resume JSON
+per url — the batch equivalent of the reference's API response body
+(/root/reference/app/routers/resume_ingestor_router.py:283-330 returns
+the validated resume JSON). Envelope fields mirror the service's GET
+shape: url key + resume + vector. Output is gzip-compressed text,
+one JSON object per line (the interchange format downstream training
+pipelines consume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["export_resume_jsonl", "export_text_corpus"]
+
+
+def export_resume_jsonl(extracted: DataFrame, path: str,
+                        partitions: int | None = None) -> None:
+    """One gzip JSONL line per ok row:
+    ``{"url": ..., "resume": {...}, "vector": [...]}`` — built with
+    to_json/struct (JVM-side), no Python in the plan."""
+    from ..schema import RESUME_SCHEMA
+    rows = (extracted.filter(F.col("status") == "ok")
+            .select(F.to_json(F.struct(
+                F.col("url"),
+                F.from_json("resume_json", RESUME_SCHEMA).alias("resume"),
+                F.col("vector"))).alias("value")))
+    if partitions:
+        rows = rows.repartition(partitions)
+    rows.write.mode("overwrite").option("compression", "gzip").text(path)
+
+
+def export_text_corpus(extracted: DataFrame, path: str,
+                       min_chars: int = 1,
+                       partitions: int | None = None) -> None:
+    """Plain extracted-text corpus (training-data shape): one JSON line
+    per document with url, text, lang, n_chars."""
+    rows = (extracted.filter((F.col("status") == "ok") &
+                             (F.col("n_chars") >= min_chars))
+            .select(F.to_json(F.struct("url", "text", "lang", "n_chars"))
+                    .alias("value")))
+    if partitions:
+        rows = rows.repartition(partitions)
+    rows.write.mode("overwrite").option("compression", "gzip").text(path)

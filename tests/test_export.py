@@ -1,0 +1,41 @@
+"""Export sinks: gzip JSONL with canonical resume envelope."""
+
+import glob
+import gzip
+import json
+
+from resume_parser_service_spark.pipeline.export import (export_resume_jsonl,
+                                                         export_text_corpus)
+from resume_parser_service_spark.pipeline.extract import extract_pages
+from resume_parser_service_spark.sources.pages import build_pages_df
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path):
+    pages = build_pages_df(spark, 30, with_fixtures=False)
+    extracted, _ = extract_pages(pages)
+    out = str(tmp_path / "resumes_jsonl")
+    export_resume_jsonl(extracted, out, partitions=2)
+
+    lines = []
+    for f in glob.glob(out + "/*.txt.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines.extend(fh)
+    objs = [json.loads(l) for l in lines]
+    assert len(objs) >= 30
+    pdf_rows = [o for o in objs
+                if o.get("resume", {}).get("personal_information")]
+    assert pdf_rows, "resume structs present for PDF docs"
+    one = pdf_rows[0]
+    assert one["url"].startswith("https://")
+    assert len(one["vector"]) == 64
+    assert one["resume"]["personal_information"]["email"]
+
+    out2 = str(tmp_path / "corpus")
+    export_text_corpus(extracted, out2, min_chars=10)
+    lines2 = []
+    for f in glob.glob(out2 + "/*.txt.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines2.extend(fh)
+    doc = json.loads(lines2[0])
+    assert set(doc) == {"url", "text", "lang", "n_chars"}
+    assert doc["n_chars"] >= 10
