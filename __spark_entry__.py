@@ -20,6 +20,8 @@ from resume_parser_service_spark.operators.extract_queries import (
     extract_oracles, extract_queries)
 from resume_parser_service_spark.operators.udf_queries import (udf_oracles,
                                                                udf_queries)
+from resume_parser_service_spark.operators.cluster import (cluster_oracles,
+                                                           cluster_queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: fn for name, (fn, _oracle) in build_catalog().items()}
     out.update(extract_queries())
     out.update(udf_queries())
+    out.update(cluster_queries())
     return out
 
 
@@ -58,4 +61,5 @@ def oracle_sql() -> dict[str, str]:
            if oracle is not None}
     out.update(extract_oracles())
     out.update(udf_oracles())
+    out.update(cluster_oracles())
     return out

@@ -1,0 +1,100 @@
+"""Near-duplicate clustering: connected components over the
+shared-shingle graph (iterative label propagation).
+
+The one operator class Spark's SQL surface genuinely lacks — an
+iterative fixpoint — implemented as a driver-side loop of DataFrame
+joins (each iteration is one shuffle; labels converge in O(graph
+diameter) rounds, with persist/unpersist between rounds so lineage
+stays bounded). Cluster id = min(doc_id) of the component, which is
+canonical, so a DuckDB recursive CTE can serve as the oracle.
+
+At 10^12-document scale the same loop runs with checkpointing every
+few rounds (lineage truncation) and large-star/small-star optimizations
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) — the round structure is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register_views, _tokens
+
+__all__ = ["cluster_queries", "cluster_oracles"]
+
+
+def _edges_sql(dialect: str) -> str:
+    """Symmetric candidate-pair edges: docs sharing a 5-word shingle."""
+    toks = _tokens("text", dialect)
+    if dialect == "spark":
+        postoks = ("SELECT doc_id, pos, tok FROM documents "
+                   f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
+    else:
+        postoks = ("SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
+                   "unnest(toks) AS tok FROM (SELECT doc_id, "
+                   f"{toks} AS toks FROM documents)")
+    return f"""
+WITH postoks AS ({postoks}),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         concat(a.tok, ' ', b.tok, ' ', c.tok, ' ', d.tok, ' ', e.tok) AS shingle
+  FROM postoks a
+  JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+)
+SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+"""
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    edges = spark.sql(_edges_sql("spark"))
+    docs = spark.table("documents").select("doc_id")
+    # self-loops keep isolated docs in the propagation
+    sym = edges.unionByName(
+        docs.select(F.col("doc_id").alias("src"),
+                    F.col("doc_id").alias("dst"))).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
+        .persist()
+    try:
+        for _ in range(20):
+            new_labels = (sym.join(labels,
+                                   sym.dst == labels.doc_id)
+                          .groupBy(F.col("src").alias("doc_id"))
+                          .agg(F.min("cluster_id").alias("cluster_id"))
+                          .persist())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "doc_id")
+                       .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                       .limit(1).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.orderBy("doc_id")
+    finally:
+        sym.unpersist()
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE edges AS ({_edges_sql('duck')}),
+reach (src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def cluster_queries() -> dict:
+    return {"dedup_clusters": _q_dedup_clusters}
+
+
+def cluster_oracles() -> dict:
+    return {"dedup_clusters": _CLUSTER_ORACLE}
