@@ -31,7 +31,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.1.0"
+KERNEL_VERSION = "pdf-1.2.0"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -934,11 +934,70 @@ def _run_content(doc: _Document, content: bytes, res: dict,
     return runs
 
 
+def _find_gutter(runs: list[tuple]) -> float | None:
+    """Detect a two-column layout: a vertical band >=18pt wide inside
+    the text area that no run crosses, with substantial text on both
+    sides. Returns the gutter center x, or None (single column)."""
+    if len(runs) < 8:
+        return None
+    spans = [(r[0], r[0] + max(r[4], 1.0)) for r in runs]
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    if hi - lo < 120:
+        return None
+    # coverage histogram (2pt bins); a few spanning runs (titles,
+    # rules) are tolerated inside the gutter
+    nbins = int((hi - lo) / 2.0) + 1
+    cov = [0] * nbins
+    for s, e in spans:
+        b0 = max(0, int((s - lo) / 2.0))
+        b1 = min(nbins - 1, int((e - lo) / 2.0))
+        for b in range(b0, b1 + 1):
+            cov[b] += 1
+    # a gutter may still be crossed by a couple of spanning runs
+    # (centered title, horizontal rule) — tolerate an absolute few
+    tol = 2
+    best = None
+    b = 0
+    while b < nbins:
+        if cov[b] <= tol:
+            b1 = b
+            while b1 + 1 < nbins and cov[b1 + 1] <= tol:
+                b1 += 1
+            g0, g1 = lo + b * 2.0, lo + (b1 + 1) * 2.0
+            # interior band, wide enough, text mass on both sides
+            if (g1 - g0 >= 18.0 and g0 > lo + 30 and g1 < hi - 30):
+                n_left = sum(1 for s, e in spans if e <= g0 + 2)
+                n_right = sum(1 for s, e in spans if s >= g1 - 2)
+                side_min = max(10.0, 0.15 * len(spans))
+                if n_left >= side_min and n_right >= side_min:
+                    width = g1 - g0
+                    if best is None or width > best[0]:
+                        best = (width, (g0 + g1) / 2.0)
+            b = b1 + 1
+        else:
+            b += 1
+    return best[1] if best else None
+
+
 def _assemble_text(runs: list[tuple]) -> str:
     """Order runs into lines: y bands top-to-bottom, x left-to-right.
-    Runs are (x, y, font_size, text, width_pts)."""
+    Runs are (x, y, font_size, text, width_pts). Two-column pages are
+    split at the detected gutter and read column-by-column (the order a
+    human — and the reference's OCR — reads them)."""
     if not runs:
         return ""
+    gutter = _find_gutter(runs)
+    if gutter is not None:
+        left = [r for r in runs if r[0] < gutter]
+        right = [r for r in runs if r[0] >= gutter]
+        if left and right:
+            return (_assemble_column(left) + "\n" +
+                    _assemble_column(right))
+    return _assemble_column(runs)
+
+
+def _assemble_column(runs: list[tuple]) -> str:
     # group into baseline bands (tolerance: 40% of median font size)
     sizes = sorted(r[2] for r in runs if r[2] > 0) or [10.0]
     tol = max(1.0, 0.4 * sizes[len(sizes) // 2])
