@@ -19,7 +19,7 @@ import re
 
 __all__ = ["extract_html", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "html-1.0.0"
+KERNEL_VERSION = "html-1.1.0"
 
 # Containers whose entire subtree is boilerplate.
 _BOILERPLATE = {"nav", "header", "footer", "aside", "form", "menu",
@@ -47,6 +47,36 @@ _WS_RE = re.compile(r"\s+")
 # Extraction thresholds (frozen).
 MIN_BLOCK_CHARS = 8
 MAX_LINK_DENSITY = 0.5
+
+
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?|content=["'][^"']*charset=)"""
+    rb"""([A-Za-z0-9_\-]+)""", re.I)
+
+_CHARSET_ALIASES = {"utf8": "utf-8", "iso-8859-1": "latin-1",
+                    "windows-1252": "cp1252", "us-ascii": "ascii"}
+
+
+def _decode(data: bytes) -> str:
+    """Charset-aware decode: BOM, then UTF-8 strict, then the declared
+    <meta charset>, then latin-1 (never fails). Deterministic."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", "replace")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16", "replace")
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RE.search(data[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        enc = _CHARSET_ALIASES.get(enc, enc)
+        try:
+            return data.decode(enc, "replace")
+        except LookupError:
+            pass
+    return data.decode("latin-1")
 
 
 def _unescape(text: str) -> str:
@@ -82,7 +112,7 @@ def extract_html(data: bytes) -> dict:
     ``n_pages`` is always 1 (same shape as the PDF kernel, so the
     pipeline's mapInPandas schema is uniform).
     """
-    html = data.decode("utf-8", "replace")
+    html = _decode(data)
     blocks: list[_Block] = []
     links: list[str] = []
     boiler_depth = 0

@@ -20,7 +20,9 @@ text runs are grouped into lines by device-space baseline (banded at
 40% of the median font size), lines sorted top-to-bottom then
 left-to-right; run advances come from parsed glyph widths (/Widths,
 CIDFont /W) and runs within a line are joined with a space iff the
-residual x-gap exceeds 0.20 * font size; lines joined with "\n",
+residual x-gap exceeds 0.20 * font size; two-column pages (detected by
+an uncovered >=18pt vertical gutter with >=15% of runs on each side)
+are emitted left column then right column; lines joined with "\n",
 pages joined with "\n\n".
 """
 

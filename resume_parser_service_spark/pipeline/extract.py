@@ -69,9 +69,11 @@ def validate_pages(pages: DataFrame) -> DataFrame:
     expressions (whole-stage codegen); no Python involved."""
     magic4 = F.expr("substring(html, 1, 4)")
     head64 = F.lower(F.expr("cast(substring(html, 1, 64) as string)"))
+    bom2 = F.expr("substring(html, 1, 2)")
     is_pdf = magic4 == F.lit(b"%PDF")
     is_html = (F.expr("substring(html, 1, 1)") == F.lit(b"<")) | \
-        head64.contains("<html") | head64.contains("<!doctype")
+        head64.contains("<html") | head64.contains("<!doctype") | \
+        (bom2 == F.lit(b"\xff\xfe")) | (bom2 == F.lit(b"\xfe\xff"))
     doc_type = (F.when(is_pdf, F.lit("pdf"))
                  .when(is_html, F.lit("html"))
                  .otherwise(F.lit("invalid")))

@@ -76,3 +76,22 @@ def test_hrefs_collected_in_order():
 def test_short_blocks_dropped():
     res = extract_html(_page(f"<article><p>ok</p><p>{MAIN}</p></article>"))
     assert res["text"] == MAIN
+
+
+def test_charset_latin1_with_meta():
+    body = "caf\xe9 au lait with enough characters to keep".encode("latin-1")
+    html = (b'<html><head><meta charset="ISO-8859-1"></head><body>'
+            b"<article><p>" + body + b"</p></article></body></html>")
+    assert extract_html(html)["text"] == "caf\xe9 au lait with enough characters to keep"
+
+
+def test_charset_utf8_default():
+    body = "caf\xe9 über straße with enough length".encode("utf-8")
+    html = b"<html><body><article><p>" + body + b"</p></article></body></html>"
+    assert extract_html(html)["text"] == "caf\xe9 über straße with enough length"
+
+
+def test_charset_latin1_fallback_without_meta():
+    body = "r\xe9sum\xe9 text that is long enough".encode("latin-1")
+    html = b"<html><body><article><p>" + body + b"</p></article></body></html>"
+    assert extract_html(html)["text"] == "r\xe9sum\xe9 text that is long enough"
