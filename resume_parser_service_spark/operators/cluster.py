@@ -16,6 +16,10 @@ SoCC 2014) — the round structure is identical.
 
 from __future__ import annotations
 
+import logging
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,8 +28,17 @@ from .catalog import register_views, _tokens
 __all__ = ["cluster_queries", "cluster_oracles"]
 
 
-def _edges_sql(dialect: str) -> str:
-    """Symmetric candidate-pair edges: docs sharing a 5-word shingle."""
+def _edges_sql(dialect: str, max_df: int = 100) -> str:
+    """Symmetric candidate-pair edges: docs sharing a 5-word shingle.
+
+    Shingles with document frequency > ``max_df`` are dropped before the
+    self-join (applied identically in both dialects): one boilerplate
+    shingle shared by n docs would otherwise emit ~n^2 edge rows. The
+    cap only prunes edges *within* an already-huge near-dup clique, so
+    component membership for realistic near-dup clusters (df << cap) is
+    unchanged; pathological boilerplate cliques degrade to whatever
+    connectivity their rarer shingles provide — the standard trade in
+    web-scale dedup."""
     toks = _tokens("text", dialect)
     if dialect == "spark":
         postoks = ("SELECT doc_id, pos, tok FROM documents "
@@ -44,14 +57,41 @@ sh AS (
   JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
   JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
   JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+),
+cold AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
+),
+shf AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)
 )
 SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
-FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
 """
 
 
-def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+MAX_ROUNDS = 20
+CHECKPOINT_EVERY = 5
+
+log = logging.getLogger(__name__)
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(),
+                         f"rpss-checkpoints-{os.getpid()}"))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
+                      strict: bool = False) -> DataFrame:
+    """Label propagation to fixpoint. Every CHECKPOINT_EVERY rounds the
+    label frame is reliably checkpoint()ed — persist alone does not
+    truncate lineage, and 20 chained join/agg rounds otherwise build a
+    plan a real cluster pays for in planning and recovery time. Hitting
+    MAX_ROUNDS unconverged logs an error (or raises when strict) instead
+    of silently returning partial labels."""
     register_views(spark, sf_dir)
+    _ensure_checkpoint_dir(spark)
     edges = spark.sql(_edges_sql("spark"))
     docs = spark.table("documents").select("doc_id")
     # self-loops keep isolated docs in the propagation
@@ -61,12 +101,15 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
         .persist()
     try:
-        for _ in range(20):
+        converged = False
+        for rnd in range(1, MAX_ROUNDS + 1):
             new_labels = (sym.join(labels,
                                    sym.dst == labels.doc_id)
                           .groupBy(F.col("src").alias("doc_id"))
-                          .agg(F.min("cluster_id").alias("cluster_id"))
-                          .persist())
+                          .agg(F.min("cluster_id").alias("cluster_id")))
+            if rnd % CHECKPOINT_EVERY == 0:
+                new_labels = new_labels.checkpoint(eager=False)
+            new_labels = new_labels.persist()
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "doc_id")
                        .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
@@ -74,7 +117,14 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            msg = (f"dedup_clusters: label propagation did not converge "
+                   f"in {MAX_ROUNDS} rounds; labels may be partial")
+            if strict:
+                raise RuntimeError(msg)
+            log.error(msg)
         return labels.orderBy("doc_id")
     finally:
         sym.unpersist()

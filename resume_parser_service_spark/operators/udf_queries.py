@@ -42,12 +42,18 @@ _PANDAS_TOKENS_ORACLE = ("SELECT doc_id, len(string_split(text, ' ')) "
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: per-source z-score of n_chars (ddof=1,
-    matching SQL stddev_samp)."""
+    matching SQL stddev_samp — including NULL for singleton groups,
+    where stddev_samp is NULL, and NULL for zero-variance groups,
+    where the division is NULL in SQL)."""
     mu = pdf["n_chars"].mean()
     sd = pdf["n_chars"].std(ddof=1)
     out = pdf[["doc_id", "source"]].copy()
-    z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pdf["n_chars"] * 0.0
-    out["zscore"] = z.round(6)
+    if pd.isna(sd) or sd == 0:
+        # singleton group: stddev_samp is NULL; zero-variance group:
+        # 0/0 division is NULL in both Spark (non-ANSI) and DuckDB
+        out["zscore"] = None
+    else:
+        out["zscore"] = ((pdf["n_chars"] - mu) / sd).round(6)
     return out
 
 

@@ -57,10 +57,18 @@ def dedup_latest(df: DataFrame, key: str = "url",
     upsert semantics of /root/reference/app/services/resume_service.py:
     106-182 (SURVEY.md B5). Implemented as max_by aggregation rather
     than a row_number window: hash aggregation with map-side partial
-    combine beats a full per-partition sort at 10^12 rows."""
+    combine beats a full per-partition sort at 10^12 rows.
+
+    Ties on ``order`` (common for WARC refetches of the same url) are
+    broken by xxhash64 over the remaining columns, so the winner is a
+    pure function of row content — never partition order — preserving
+    the pipeline's byte-identity/determinism contract across runs and
+    cluster layouts."""
     rest = [c for c in df.columns if c != key]
+    rank = F.struct(F.col(order).alias("o"),
+                    F.xxhash64(*[F.col(c) for c in rest]).alias("t"))
     return (df.groupBy(key)
-            .agg(F.max_by(F.struct(*rest), F.col(order)).alias("_row"))
+            .agg(F.max_by(F.struct(*rest), rank).alias("_row"))
             .select(key, "_row.*"))
 
 
@@ -78,7 +86,8 @@ def validate_pages(pages: DataFrame) -> DataFrame:
                  .when(is_html, F.lit("html"))
                  .otherwise(F.lit("invalid")))
     oversize = F.length(F.col("html")) > MAX_FILE_SIZE
-    reject = (F.when(oversize, F.lit("FileSizeLimitExceededError"))
+    # taxonomy mirrors /root/reference/app/core/exceptions.py:173,183
+    reject = (F.when(oversize, F.lit("FileTooLargeError"))
                .when(doc_type == "invalid", F.lit("InvalidFileTypeError")))
     return pages.withColumn("doc_type", doc_type) \
                 .withColumn("reject_class", reject)
@@ -110,9 +119,11 @@ def _kernel(batches: Iterator) -> Iterator:
                 flat_text = resume_map.resume_to_text(resume)
                 vector = embed.embed_text(flat_text)
             except pdf_text.PdfError:
+                # /root/reference/app/core/exceptions.py:163
                 status, err = "error", "FileProcessingError"
             except Exception:
-                status, err = "error", "ResumeParsingError"
+                # /root/reference/app/core/exceptions.py:133
+                status, err = "error", "ResumeValidationError"
             rows.append({
                 "url": url, "warc_ts": warc_ts, "lang": lang,
                 "doc_type": doc_type, "status": status, "error_class": err,

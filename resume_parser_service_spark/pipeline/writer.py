@@ -174,16 +174,25 @@ class SnapshotTable:
         new_cmp = F.struct(*[F.col(f"n.{c}") for c in cmp_cols])
         is_new = F.col("_old_cmp").isNull()
         is_changed = ~is_new & ~new_cmp.eqNullSafe(F.col("_old_cmp"))
-        changed = joined.filter(is_new | is_changed)
-        to_write = changed.select([F.col(f"n.{c}") for c in new_df.columns])
-        stats_row = joined.select(
-            F.sum(is_new.cast("int")).alias("ins"),
-            F.sum(is_changed.cast("int")).alias("upd"),
-            F.count("*").alias("total")).collect()[0]
-        inserted, updated = int(stats_row["ins"] or 0), int(stats_row["upd"] or 0)
-        snap = None
-        if inserted + updated > 0:
-            snap = self.commit(to_write)
+        # persist: the join feeds both the stats aggregate and the
+        # commit write — without it the full shuffle-join of the new
+        # batch runs twice at scale
+        joined = joined.persist()
+        try:
+            changed = joined.filter(is_new | is_changed)
+            to_write = changed.select(
+                [F.col(f"n.{c}") for c in new_df.columns])
+            stats_row = joined.select(
+                F.sum(is_new.cast("int")).alias("ins"),
+                F.sum(is_changed.cast("int")).alias("upd"),
+                F.count("*").alias("total")).collect()[0]
+            inserted = int(stats_row["ins"] or 0)
+            updated = int(stats_row["upd"] or 0)
+            snap = None
+            if inserted + updated > 0:
+                snap = self.commit(to_write)
+        finally:
+            joined.unpersist()
         return {"inserted": inserted, "updated": updated,
                 "unchanged": int(stats_row["total"]) - inserted - updated,
                 "snapshot_id": snap}

@@ -56,7 +56,7 @@ def test_audit_complete_and_taxonomy(spark, corpus):
     by_status = {(r["status"], r["error_class"]): r["n"]
                  for r in audit.groupBy("status", "error_class")
                  .agg(F.count("*").alias("n")).collect()}
-    assert by_status.get(("rejected", "FileSizeLimitExceededError")) == 1
+    assert by_status.get(("rejected", "FileTooLargeError")) == 1
     assert by_status.get(("rejected", "InvalidFileTypeError")) == 1
     assert by_status.get(("error", "FileProcessingError")) == 1  # truncated
     assert ("ok", None) in by_status

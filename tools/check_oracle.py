@@ -35,6 +35,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
         return f"COLS spark={sorted(sdf.columns)} duck={sorted(odf.columns)}"
     if len(sdf) != len(odf):
         return f"ROWS spark={len(sdf)} duck={len(odf)}"
+    # driver-strict: the driver hashes raw materialized values, so a
+    # dtype divergence (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+    # flips its value hash even when every value is equal — fail here.
+    for c in sorted(sdf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk != ok and "O" not in (sk, ok):
+            return f"DTYPE {c}: spark={sdf[c].dtype} duck={odf[c].dtype}"
     a, b = normalize(sdf), normalize(odf)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False,
