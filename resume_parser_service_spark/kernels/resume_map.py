@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.1.0"
+KERNEL_VERSION = "map-1.2.0"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -148,34 +148,116 @@ def _groups(lines: list[str]) -> list[list[str]]:
     return out
 
 
-def _personal(lines: list[str], links: list[str]) -> dict | None:
+# words that look name-shaped but never are (document furniture)
+_NAME_STOP = {"summary", "curriculum", "vitae", "resume", "cv", "contact",
+              "profile", "objective", "about", "portfolio", "experienced",
+              "senior", "junior"}
+
+_NAME_TOK_RE = re.compile(r"[A-Z][A-Za-z.'-]*$")
+
+# labeled phone: value may sit on the next line (narrow-column layouts);
+# \xa0 appears inside numbers in real PDFs (non-breaking space glyphs)
+_PHONE_LABELED_RE = re.compile(
+    r"\b(?:Phone|Tel|Telephone|Mobile|Cell|P)\s*:[ \t]*\n?[ \t]*"
+    r"(\+\d{1,3})?[ .\xa0]?([\d(][\d\xa0 ().-]{5,})")
+# bare phone: a line that is nothing but a phone number, possibly led
+# by an icon-font glyph (private-use chars are not \w)
+_PHONE_LINE_RE = re.compile(
+    r"^[^\w\n+]*(\+\d{1,3})?[ .\xa0]?([\d(][\d\xa0 ().-]{6,})\s*$", re.M)
+# inline international number (+CC ...) — two-column layouts interleave
+# the contact sidebar with body prose, so no line anchor is possible
+_PHONE_INLINE_RE = re.compile(
+    r"(\+\d{1,3})[ \xa0]?([\d(][\d\xa0 ().-]*\d)")
+# lenient email fallback: column-split layouts truncate the TLD
+# mid-word ("...@gmail.c and optimize"); prefer the strict match
+_EMAIL_LENIENT_RE = re.compile(
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\.[A-Za-z]+")
+
+
+def _name_tokens(line: str) -> list[str]:
+    """Leading name-shaped tokens of a line (stops at furniture words,
+    digits, or prose) — handles two-column interleave where the name
+    column and body column share a text line."""
+    toks = []
+    for t in line.split():
+        if (_NAME_TOK_RE.match(t) and t.lower().rstrip(".'-") not in
+                _NAME_STOP and len(t) >= 2):
+            toks.append(t)
+        else:
+            break
+    return toks
+
+
+def _valid_phone(num: str, lo: int = 7, hi: int = 15) -> bool:
+    digits = re.sub(r"\D", "", num)
+    return lo <= len(digits) <= hi and "/" not in num
+
+
+def _find_phone(text: str) -> tuple[str | None, str | None]:
+    """Labeled number first, then a standalone phone line, then an
+    inline +CC-prefixed number (interleaved two-column layouts)."""
+    m = _PHONE_LABELED_RE.search(text)
+    if m and _valid_phone(m.group(2), lo=6):
+        return m.group(1), m.group(2).strip()
+    for m2 in _PHONE_LINE_RE.finditer(text):
+        if _valid_phone(m2.group(2)):
+            return m2.group(1), m2.group(2).strip()
+    for m3 in _PHONE_INLINE_RE.finditer(text):
+        if _valid_phone(m3.group(2)):
+            return m3.group(1), m3.group(2).strip()
+    return None, None
+
+
+def _personal(lines: list[str], links: list[str],
+              full_text: str = "") -> dict | None:
+    """Personal-information mapper. Name/surname come from the leading
+    head lines; contact fields (email/phone/urls/DOB) are searched over
+    the WHOLE document — real resumes put them in sidebars and Contact
+    sections that land mid-text after layout linearization."""
     pi = {"name": None, "surname": None, "date_of_birth": None,
           "country": None, "city": None, "address": None, "zip_code": None,
           "phone_prefix": None, "phone": None, "email": None,
           "github": None, "linkedin": None}
-    body = "\n".join(lines)
+    body = full_text or "\n".join(lines)
     stripped = [l.strip() for l in lines if l.strip()]
     if stripped:
         first = stripped[0]
-        if ("@" not in first and not _URL_RE.search(first)
-                and len(first.split()) <= 5):
-            toks = first.split()
-            pi["name"] = toks[0]
-            if len(toks) > 1:
-                pi["surname"] = " ".join(toks[1:])
+        if "@" not in first and not _URL_RE.search(first):
+            toks = _name_tokens(first)
+            if toks:
+                pi["name"] = toks[0]
+                if len(toks) > 1:
+                    pi["surname"] = " ".join(toks[1:])
+                elif len(stripped) > 1:
+                    # single-token first line: surname often wraps to the
+                    # next line (LORENZO / FOSCHI). Reject lines carrying
+                    # addresses or contact info (digits, commas, @, |).
+                    nxt = stripped[1]
+                    if not re.search(r"[\d,@|]", nxt):
+                        toks2 = _name_tokens(nxt)
+                        if toks2 and (toks2[0].isupper() == toks[0].isupper()):
+                            pi["surname"] = toks2[0]
     for l in stripped[1:]:
         m = _LOCATION_RE.match(re.sub(r"\s*(Email|Phone|E-mail):.*", "", l))
         if m and pi["city"] is None:
             pi["city"], pi["country"] = m.group(1), m.group(2)
-    m = _EMAIL_RE.search(body)
+    # pipe-delimited contact header: "Dublin 1, Ireland | P: +353 ... | ..."
+    if pi["city"] is None:
+        for l in stripped[:4]:
+            f = l.split("|")[0].strip()
+            m = re.match(r"^([A-Z][A-Za-z .'-]*?)(\s+\d+)?,\s*"
+                         r"([A-Z][A-Za-z .'-]+)$", f)
+            if m:
+                pi["city"], pi["country"] = m.group(1), m.group(3)
+                if m.group(2):
+                    pi["address"] = f.split(",")[0].strip()
+                break
+    m = _EMAIL_RE.search(body) or _EMAIL_LENIENT_RE.search(body)
     if m:
         pi["email"] = m.group(0)
-    pm = re.search(r"(?:Phone|Tel|Mobile)\s*:?\s*(\+\d{1,3})?\s*([\d][\d ().-]{6,})",
-                   body)
-    if pm:
-        pi["phone_prefix"] = pm.group(1)
-        pi["phone"] = pm.group(2).strip()
-    dm = re.search(r"(?:Date of [Bb]irth|DOB)\s*:?\s*([0-9/.-]{6,10})", body)
+    pi["phone_prefix"], pi["phone"] = _find_phone(body)
+    dm = re.search(r"(?:Date of [Bb]irth|DOB)\s*[:/]?\s*"
+                   r"([0-9][0-9/.-]{5,9})", body)
     if dm:
         pi["date_of_birth"] = dm.group(1)
     for url in links + _URL_RE.findall(body):
@@ -307,7 +389,7 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
 
     for kind, lines in _split_sections(text):
         if kind == "head":
-            out["personal_information"] = _personal(lines, links)
+            out["personal_information"] = _personal(lines, links, text)
         elif kind == "education":
             for g in _groups(lines):
                 head = g[0].lower()

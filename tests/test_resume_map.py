@@ -177,3 +177,82 @@ def test_reference_pdf_mapper_goldens():
         m = map_resume(r["text"], r["links"])
         golden = open(os.path.join(golden_dir, f + ".resume.json")).read()
         assert canonical_resume_json(m) == golden
+
+
+def test_reference_golden_field_recall():
+    """Semantic fidelity vs the REFERENCE's own expected outputs
+    (/root/reference/cv_output/*.json — produced by its GPT-4o pipeline
+    on the same fixture PDFs). Checks per-field recall of
+    personal_information, not byte equality: our mapper is the
+    deterministic replacement for the LLM combine step (SURVEY.md A7),
+    so matching the fields the LLM found is the fidelity bar
+    (VERDICT.md round-1 item 3)."""
+    import os
+    import re
+
+    import pytest
+
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+
+    if not os.path.exists("/root/reference/cv_output/worse.json"):
+        pytest.skip("reference goldens not present")
+
+    def digits(s):
+        return re.sub(r"\D", "", s or "")
+
+    cases = {  # pdf fixture -> reference golden with matching casing
+        "CVENG.pdf": "worse.json",
+        "FedericoElia.pdf": "resume.json",
+        "resume2.pdf": "both_resume2.json",
+    }
+    got = {}
+    for pdf, golden in cases.items():
+        r = extract_pdf(open(f"/root/reference/{pdf}", "rb").read())
+        ours = map_resume(r["text"], r["links"])["personal_information"]
+        ref = json.load(open(f"/root/reference/cv_output/{golden}"))[
+            "personal_information"]
+        got[pdf] = (ours, ref)
+
+    # CVENG: all four core fields must match the reference output
+    ours, ref = got["CVENG.pdf"]
+    assert ours["name"] == ref["name"] == "LORENZO"
+    assert ours["surname"] == ref["surname"] == "FOSCHI"
+    assert ours["email"] == ref["email"]
+    assert digits(ours["phone"]) == digits(ref["phone"])
+
+    # FedericoElia: email + phone (+prefix) match; the name glyph run
+    # has no space ("FEDERICOELIA") so the name/surname split is a
+    # documented gap, not asserted
+    ours, ref = got["FedericoElia.pdf"]
+    assert ours["email"] == ref["email"]
+    assert digits(ours["phone"]) == digits(ref["phone"])
+    assert ours["phone_prefix"] == ref["phone_prefix"]
+
+    # resume2: name/surname match; phone digits match modulo the (0)
+    # trunk notation; email is truncated by the two-column layout in
+    # the extracted text itself — prefix-match only
+    ours, ref = got["resume2.pdf"]
+    assert ours["name"] == ref["name"]
+    assert ours["surname"] == ref["surname"]
+    assert digits(ours["phone"]) == digits(ref["phone"])
+    assert ref["email"].startswith(ours["email"][:20])
+
+
+def test_personal_info_nonnull_coverage():
+    """email+phone+surname non-null on >=4/5 reference PDFs
+    (VERDICT.md round-1 'done' bar for mapper fidelity)."""
+    import os
+
+    import pytest
+
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+
+    if not os.path.exists("/root/reference/CVENG.pdf"):
+        pytest.skip("reference fixtures not present")
+    ok = 0
+    for name in ["CVENG", "FedericoElia", "resume1", "resume2", "resume3"]:
+        r = extract_pdf(open(f"/root/reference/{name}.pdf", "rb").read())
+        pi = map_resume(r["text"], r["links"])["personal_information"]
+        if all(pi.get(k) for k in ("email", "phone", "surname")):
+            ok += 1
+    assert ok >= 4
