@@ -85,7 +85,8 @@ def _content_stream(page_text: str) -> bytes:
 
 def make_pdf(pages: list[str], links: list[str] | None = None,
              compress: bool = True, xref_stream: bool = False,
-             objstm: bool = False) -> bytes:
+             objstm: bool = False, tounicode: bool = True,
+             differences: dict[int, str] | None = None) -> bytes:
     """Build a deterministic multi-page PDF carrying ``pages`` texts.
 
     ``links`` become ``/URI`` link annotations on page 1 (order kept),
@@ -96,6 +97,11 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
     of a classic table; ``objstm=True`` additionally packs all
     non-stream objects into a compressed object stream — the layout of
     modern tooling output, exercising the parser's 7.5.7/7.5.8 paths.
+
+    ``tounicode=False`` omits the ToUnicode CMap so decoding must go
+    through the /Encoding tables (the no-ToUnicode breadth path);
+    ``differences`` writes an /Encoding dict with a /Differences array
+    mapping byte codes to glyph NAMES (e.g. {233: "eacute"}).
     """
     if not pages:
         raise ValueError("need at least one page")
@@ -113,10 +119,24 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = b" ".join(b"%d 0 R" % p for p in page_obj)
     objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
-    cmap = _tounicode_cmap()
-    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-               b" /Encoding /WinAnsiEncoding /ToUnicode 4 0 R >>")
-    objs[4] = (b"<< /Length %d >>\nstream\n" % len(cmap)) + cmap + b"\nendstream"
+    if differences:
+        diff_items = b" ".join(
+            b"%d /%s" % (code, name.encode("ascii"))
+            for code, name in sorted(differences.items()))
+        enc = (b" /Encoding << /Type /Encoding"
+               b" /BaseEncoding /WinAnsiEncoding"
+               b" /Differences [" + diff_items + b"] >>")
+    else:
+        enc = b" /Encoding /WinAnsiEncoding"
+    tu = b" /ToUnicode 4 0 R" if tounicode else b""
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+               enc + tu + b" >>")
+    if tounicode:
+        cmap = _tounicode_cmap()
+        objs[4] = ((b"<< /Length %d >>\nstream\n" % len(cmap)) + cmap +
+                   b"\nendstream")
+    else:
+        objs[4] = b"<< >>"  # placeholder keeps object numbering stable
 
     for i in range(n_pages):
         annots = b""

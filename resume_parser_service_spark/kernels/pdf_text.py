@@ -33,7 +33,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.2.0"
+KERNEL_VERSION = "pdf-1.3.0"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -251,6 +251,11 @@ class _Document:
             self.offsets = {}
         if not self.offsets or "Root" not in self.trailer:
             self._scan_objects()
+        if "Encrypt" in self.trailer:
+            # standard security handler: strings/streams are RC4/AES
+            # encrypted — decode is out of scope; fail loudly into the
+            # FileProcessingError audit path rather than emit mojibake
+            raise PdfError("encrypted PDF (not supported)")
         if "Root" not in self.trailer:
             raise PdfError("no /Root in trailer")
 
@@ -547,6 +552,128 @@ def _undo_png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> byt
 _DEFAULT_WIDTH = 500.0  # glyph-space units (em/1000) when unknown
 
 
+def _build_glyph_names() -> dict[str, str]:
+    """Adobe-Glyph-List subset: glyph name -> unicode. Covers ASCII
+    names, digits, punctuation, Latin-1 accents (built via
+    unicodedata so the table is generated, not transcribed), and the
+    typographic set PDFs commonly reference in /Differences arrays."""
+    import unicodedata
+    g: dict[str, str] = {}
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        g[c] = c
+        g[c.upper()] = c.upper()
+    for i, name in enumerate(["zero", "one", "two", "three", "four", "five",
+                              "six", "seven", "eight", "nine"]):
+        g[name] = str(i)
+    g.update({
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "minus": "−", "period": ".",
+        "slash": "/", "colon": ":", "semicolon": ";", "less": "<",
+        "equal": "=", "greater": ">", "question": "?", "at": "@",
+        "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+        "asciicircum": "^", "underscore": "_", "grave": "`",
+        "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+        "periodcentered": "·", "perthousand": "‰",
+        "guillemotleft": "«", "guillemotright": "»",
+        "guilsinglleft": "‹", "guilsinglright": "›",
+        "florin": "ƒ", "fraction": "⁄", "fi": "ﬁ",
+        "fl": "ﬂ", "germandbls": "ß", "dotlessi": "ı",
+        "exclamdown": "¡", "questiondown": "¿", "cent": "¢",
+        "sterling": "£", "yen": "¥", "section": "§",
+        "currency": "¤", "copyright": "©",
+        "registered": "®", "trademark": "™", "degree": "°",
+        "plusminus": "±", "mu": "µ", "paragraph": "¶",
+        "middot": "·", "Euro": "€", "ae": "æ",
+        "AE": "Æ", "oe": "œ", "OE": "Œ", "oslash": "ø",
+        "Oslash": "Ø", "aring": "å", "Aring": "Å",
+        "eth": "ð", "Eth": "Ð", "thorn": "þ",
+        "Thorn": "Þ", "lslash": "ł", "Lslash": "Ł",
+        "ordfeminine": "ª", "ordmasculine": "º",
+        "brokenbar": "¦", "logicalnot": "¬",
+        "onequarter": "¼", "onehalf": "½",
+        "threequarters": "¾", "multiply": "×",
+        "divide": "÷",
+    })
+    accents = {"acute": "ACUTE", "grave": "GRAVE",
+               "circumflex": "CIRCUMFLEX", "dieresis": "DIAERESIS",
+               "tilde": "TILDE", "ring": "RING ABOVE", "caron": "CARON",
+               "cedilla": "CEDILLA", "macron": "MACRON", "breve": "BREVE"}
+    for base in "aeiouyncszgr":
+        for suffix, uni in accents.items():
+            for case, word in ((base, "SMALL"), (base.upper(), "CAPITAL")):
+                try:
+                    ch = unicodedata.lookup(
+                        f"LATIN {word} LETTER {base.upper()} WITH {uni}")
+                except KeyError:
+                    continue
+                g.setdefault(case + suffix, ch)
+    return g
+
+
+_GLYPH_NAMES = _build_glyph_names()
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL name resolution incl. the algorithmic uniXXXX / uXXXX forms."""
+    got = _GLYPH_NAMES.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    return ""
+
+
+# Adobe StandardEncoding deviations from ASCII/Latin-1 (spec annex D.2)
+_STANDARD_HIGH = {
+    0x27: "’", 0x60: "‘", 0xa1: "¡", 0xa2: "¢",
+    0xa3: "£", 0xa4: "⁄", 0xa5: "¥", 0xa6: "ƒ",
+    0xa7: "§", 0xa8: "¤", 0xa9: "'", 0xaa: "“",
+    0xab: "«", 0xac: "‹", 0xad: "›", 0xae: "ﬁ",
+    0xaf: "ﬂ", 0xb1: "–", 0xb2: "†", 0xb3: "‡",
+    0xb4: "·", 0xb6: "¶", 0xb7: "•", 0xb8: "‚",
+    0xb9: "„", 0xba: "”", 0xbb: "»", 0xbc: "…",
+    0xbd: "‰", 0xbf: "¿", 0xc1: "`", 0xc2: "´",
+    0xc3: "ˆ", 0xc4: "˜", 0xc5: "¯", 0xc6: "˘",
+    0xc7: "˙", 0xc8: "¨", 0xca: "˚", 0xcb: "¸",
+    0xcd: "˝", 0xce: "˛", 0xcf: "ˇ", 0xd0: "—",
+    0xe1: "Æ", 0xe3: "ª", 0xe8: "Ł", 0xe9: "Ø",
+    0xea: "Œ", 0xeb: "º", 0xf1: "æ", 0xf5: "ı",
+    0xf8: "ł", 0xf9: "ø", 0xfa: "œ", 0xfb: "ß",
+}
+
+
+def _base_encoding_char(enc_name: str | None, b: int) -> str | None:
+    """Byte -> unicode under a named simple-font base encoding; None
+    when the encoding leaves the byte to the caller's default."""
+    if enc_name == "WinAnsiEncoding":
+        ch = bytes([b]).decode("cp1252", "ignore")
+        return ch if ch and ord(ch) >= 32 else ""
+    if enc_name == "MacRomanEncoding":
+        ch = bytes([b]).decode("mac_roman", "ignore")
+        return ch if ch and ord(ch) >= 32 else ""
+    if enc_name == "StandardEncoding":
+        got = _STANDARD_HIGH.get(b)
+        if got is not None:
+            return got
+        return chr(b) if 32 <= b < 127 else ""
+    return None
+
+
 class _Font:
     """Decoder for one font resource: code bytes -> unicode text, plus
     glyph advance widths (for inter-run spacing decisions)."""
@@ -556,12 +683,35 @@ class _Font:
         self.cmap: dict[int, str] = {}
         self.widths: dict[int, float] = {}
         self.default_width = _DEFAULT_WIDTH
+        self.base_enc: str | None = None
+        self.diff_map: dict[int, str] = {}
         subtype = doc.resolve(font_dict.get("Subtype"))
         if subtype == "Type0":
             self.two_byte = True
             enc = doc.resolve(font_dict.get("Encoding"))
             if enc in ("Identity-H", "Identity-V"):
                 self.two_byte = True
+        else:
+            # simple-font /Encoding: a base-encoding name or a dict with
+            # /BaseEncoding + /Differences — the decode path for fonts
+            # WITHOUT ToUnicode (spec 9.6.6, annex D)
+            enc = doc.resolve(font_dict.get("Encoding"))
+            if isinstance(enc, str):
+                self.base_enc = enc
+            elif isinstance(enc, dict):
+                be = doc.resolve(enc.get("BaseEncoding"))
+                if isinstance(be, str):
+                    self.base_enc = be
+                diffs = doc.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    code = 0
+                    for item in diffs:
+                        item = doc.resolve(item)
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, _Name):
+                            self.diff_map[code] = _glyph_to_unicode(item)
+                            code += 1
         tu = doc.resolve(font_dict.get("ToUnicode"))
         if isinstance(tu, _Stream):
             data = doc.stream_data(tu)
@@ -623,12 +773,20 @@ class _Font:
         return list(raw)
 
     def _tables(self):
-        """Lazy per-font lookup tables for the 1-byte fast path."""
+        """Lazy per-font lookup tables for the 1-byte fast path.
+        Precedence: ToUnicode > /Differences > base encoding > the
+        frozen Latin-1-ish default (kept for fixture stability)."""
         trans = {}
         wtab = []
         for b in range(256):
-            trans[b] = self.cmap.get(
-                b, chr(b) if 32 <= b < 127 or b >= 160 else "")
+            ch = self.cmap.get(b)
+            if ch is None:
+                ch = self.diff_map.get(b)
+            if ch is None:
+                ch = _base_encoding_char(self.base_enc, b)
+            if ch is None:
+                ch = chr(b) if 32 <= b < 127 or b >= 160 else ""
+            trans[b] = ch
             wtab.append(self.widths.get(b, self.default_width))
         self._trans = trans
         self._wtab = wtab

@@ -105,3 +105,40 @@ def test_roundtrip_object_stream():
     res = extract_pdf(make_pdf(pages, links, xref_stream=True, objstm=True))
     assert res["text"] == pages[0]
     assert res["links"] == links
+
+
+def test_no_tounicode_winansi_font():
+    """Fonts WITHOUT ToUnicode decode via /Encoding (WinAnsiEncoding
+    base table) — the PDF-breadth path for Common-Crawl corpora."""
+    text = "café résumé über"
+    res = extract_pdf(make_pdf([text], tounicode=False))
+    assert res["text"] == text
+
+
+def test_differences_array_decoding():
+    """/Encoding dict with /Differences glyph names overrides the base
+    encoding (spec 9.6.6 precedence)."""
+    # WinAnsi 200='E-grave', 201='E-acute'; the Differences array
+    # remaps 201 to /bullet, proving it wins over the base table
+    text = "x" + chr(200) + chr(201) + "y"
+    pdf = make_pdf([text], tounicode=False,
+                   differences={200: "Egrave", 201: "bullet"})
+    res = extract_pdf(pdf)
+    assert res["text"] == "xÈ•y"
+
+
+def test_uniXXXX_glyph_names():
+    pdf = make_pdf(["a" + chr(128) + "b"], tounicode=False,
+                   differences={128: "uni20AC"})
+    assert extract_pdf(pdf)["text"] == "a€b"
+
+
+def test_encrypted_pdf_raises_pdferror():
+    """Encrypted files fail loudly into the FileProcessingError audit
+    path instead of emitting mojibake (VERDICT.md r1 item 5)."""
+    import pytest
+    pdf = make_pdf(["secret"])
+    enc = pdf.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ")
+    assert enc != pdf
+    with pytest.raises(PdfError, match="encrypted"):
+        extract_pdf(enc)
