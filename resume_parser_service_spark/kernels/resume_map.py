@@ -252,6 +252,16 @@ def _personal(lines: list[str], links: list[str],
                 if m.group(2):
                     pi["address"] = f.split(",")[0].strip()
                 break
+    # zip/postal code: a 5-digit (or ZIP+4) group on an address-shaped
+    # head line (has letters and a comma) — "Via di Creto 61, 16165
+    # GENOVA (GE)" -> 16165; phone/date lines don't qualify
+    for l in stripped:
+        if pi["zip_code"]:
+            break
+        if "," in l and re.search(r"[A-Za-z]", l) and "@" not in l:
+            zm = re.search(r"\b(\d{5}(?:-\d{4})?)\b", l)
+            if zm:
+                pi["zip_code"] = zm.group(1)
     m = _EMAIL_RE.search(body) or _EMAIL_LENIENT_RE.search(body)
     if m:
         pi["email"] = m.group(0)

@@ -41,7 +41,7 @@ from ..kernels import embed, html_text, pdf_text, resume_map
 from ..schema import EXTRACT_SCHEMA, MAX_FILE_SIZE, canonical_resume_json
 
 __all__ = ["dedup_latest", "validate_pages", "extract_pages",
-           "PIPELINE_KERNEL_VERSION"]
+           "validate_extracted", "PIPELINE_KERNEL_VERSION"]
 
 PIPELINE_KERNEL_VERSION = "+".join([pdf_text.KERNEL_VERSION,
                                     html_text.KERNEL_VERSION,
@@ -91,6 +91,40 @@ def validate_pages(pages: DataFrame) -> DataFrame:
                .when(doc_type == "invalid", F.lit("InvalidFileTypeError")))
     return pages.withColumn("doc_type", doc_type) \
                 .withColumn("reject_class", reject)
+
+
+# A9 residual-validation shapes (/root/reference/app/schemas/resume.py:
+# 13 zip_code max_length=10; :16-18 EmailStr / AnyUrl refinement types)
+_EMAIL_SHAPE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+_URL_SHAPE = r"^https?://\S+$"
+
+
+def validate_extracted(extracted: DataFrame) -> DataFrame:
+    """Attach the A9 residual-validation column: struct conformance is
+    by construction (the kernel emits canonical JSON of RESUME_SCHEMA),
+    so what remains are the reference's Pydantic refinement checks —
+    zip_code length, email shape, github/linkedin URL shape. Pure
+    JVM-side expressions (from_json + rlike inside whole-stage codegen);
+    failures become audit rows, not exceptions (SURVEY.md A9)."""
+    from ..schema import RESUME_SCHEMA
+    pi = F.from_json(F.col("resume_json"), RESUME_SCHEMA)[
+        "personal_information"]
+
+    def bad_url(field: str) -> F.Column:
+        return (pi[field].isNotNull() &
+                ~pi[field].rlike(_URL_SHAPE))
+
+    errs = F.array_compact(F.array(
+        F.when(F.length(pi["zip_code"]) > 10, F.lit("zip_code_too_long")),
+        F.when(pi["email"].isNotNull() & ~pi["email"].rlike(_EMAIL_SHAPE),
+               F.lit("invalid_email")),
+        F.when(bad_url("github"), F.lit("invalid_github_url")),
+        F.when(bad_url("linkedin"), F.lit("invalid_linkedin_url")),
+    ))
+    return extracted.withColumn(
+        "validation_errors",
+        F.when(F.col("resume_json").isNotNull(), errs)
+         .otherwise(F.array().cast("array<string>")))
 
 
 def _kernel(batches: Iterator) -> Iterator:

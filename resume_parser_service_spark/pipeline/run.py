@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .extract import extract_pages
+from .extract import extract_pages, validate_extracted
 from .writer import SnapshotTable
 
 __all__ = ["run_extraction_job"]
@@ -41,6 +41,21 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
 
     extracted, rejected = extract_pages(todo, salt_partitions=salt_partitions,
                                         dedup=True, salt_input=salt_input)
+    # A9 residual validation: rows failing the reference's refinement
+    # checks are routed to the audit table (status='invalid', class
+    # InvalidResumeDataError — /root/reference/app/core/exceptions.py:113)
+    # and NOT committed, mirroring the service's HTTP-400 path
+    # (/root/reference/app/routers/resume_ingestor_router.py:304-321).
+    extracted = validate_extracted(extracted)
+    has_verr = F.size("validation_errors") > 0
+    extracted = extracted.withColumn(
+        "status", F.when((F.col("status") == "ok") & has_verr,
+                         F.lit("invalid")).otherwise(F.col("status"))
+    ).withColumn(
+        "error_class", F.when((F.col("status") == "invalid") &
+                              F.col("error_class").isNull(),
+                              F.lit("InvalidResumeDataError"))
+                        .otherwise(F.col("error_class")))
     # One materialization of the kernel output; everything below reuses it.
     extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)

@@ -121,3 +121,64 @@ def test_time_travel_read(spark, corpus):
     v1 = tbl.read(spark, version=1).count()
     latest = tbl.read(spark).count()
     assert latest > v1  # snapshot 2 appended the incremental docs
+
+
+def test_validate_extracted_flags(spark):
+    """A9 residual validation: zip_code length, email/URL shape
+    (/root/reference/app/schemas/resume.py:13,16-18) as JVM-side
+    validation columns."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.extract import \
+        validate_extracted
+
+    def rj(pi):
+        return json.dumps({"personal_information": pi})
+
+    rows = [
+        ("ok", rj({"email": "a@b.com", "zip_code": "16165"})),
+        ("bad_zip", rj({"zip_code": "123456789012"})),
+        ("bad_email", rj({"email": "someone@host.c"})),
+        ("bad_github", rj({"github": "not a url"})),
+        ("no_resume", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, resume_json string")
+    got = {r["url"]: r["validation_errors"]
+           for r in validate_extracted(df).collect()}
+    assert got["ok"] == []
+    assert got["bad_zip"] == ["zip_code_too_long"]
+    assert got["bad_email"] == ["invalid_email"]
+    assert got["bad_github"] == ["invalid_github_url"]
+    assert got["no_resume"] == []
+
+
+def test_invalid_resume_routed_to_audit(spark, tmp_path):
+    """E2E: a page whose mapped email fails the shape check lands in
+    the audit as status='invalid' / InvalidResumeDataError and is NOT
+    committed to resumes_extracted (the reference's HTTP-400 path)."""
+    import datetime
+
+    from resume_parser_service_spark.pipeline.run import run_extraction_job
+    from resume_parser_service_spark.schema import PAGES_SCHEMA
+
+    # the lenient email fallback captures the column-truncated TLD,
+    # which then fails the strict A9 shape check
+    html = ("<html><body><p>Jane Roe</p>"
+            "<p>contact me at jane.roe@example.c plus more prose here "
+            "so the extractor keeps the block</p></body></html>").encode()
+    pages = spark.createDataFrame(
+        [("https://x.example/bad-email", datetime.datetime(2025, 1, 1),
+          bytearray(html), None, "en")], PAGES_SCHEMA)
+    out = str(tmp_path / "t")
+    stats = run_extraction_job(spark, pages, out)
+    assert stats["extracted"] == 1
+
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+    audit = SnapshotTable(out + "/extraction_audit").read(spark).collect()
+    assert len(audit) == 1
+    assert audit[0]["status"] == "invalid"
+    assert audit[0]["error_class"] == "InvalidResumeDataError"
+    tbl = SnapshotTable(out + "/resumes_extracted").read(spark)
+    assert tbl is None or tbl.count() == 0
