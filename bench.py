@@ -90,16 +90,18 @@ def main() -> None:
     best = sorted(runs, key=lambda r: r["wall_sec"])[len(runs) // 2]
 
     qs = entrymod.queries()
+    q_runs = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     qtimes: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
-        del n
+        walls = []
+        for _ in range(q_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            walls.append(time.perf_counter() - t0)
+        qtimes[name] = round(sorted(walls)[len(walls) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -113,6 +115,12 @@ def main() -> None:
         "n_ok": best["n_ok"],
         "cpus": cpus,
         "warmup_docs_per_sec": ext_stats["docs_per_sec"],
+        "runs": n_runs,
+        "query_runs": q_runs,
+        # ANN scale path vs labeled brute-force baseline (same sf)
+        "ann_lsh_speedup": (
+            round(qtimes["ann_topk_bruteforce"] / qtimes["ann_lsh_buckets"], 2)
+            if qtimes.get("ann_lsh_buckets") else None),
     }
     spark.stop()
     print(json.dumps(result))
