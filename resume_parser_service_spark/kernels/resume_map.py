@@ -90,10 +90,15 @@ _EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 _PHONE_RE = re.compile(r"(\+\d{1,3})?[ .]?(\(?\d{2,4}\)?[ .-]?\d{3}[ .-]?\d{3,6})")
 _URL_RE = re.compile(r"https?://[^\s)>\]]+")
 _YEAR_RANGE_RE = re.compile(r"^(\d{4})\s*[-–—]\s*(\d{4}|Present|present|Ongoing)$")
+_DATE_TOK = (r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{4}"
+             r"|\d{2}/\d{4}|\d{4}")
 _PERIOD_RE = re.compile(
-    r"^((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{4}|\d{4})"
-    r"\s*[-–—]\s*"
-    r"((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{4}|\d{4}|Present|present)$")
+    rf"^({_DATE_TOK})\s*[-–—]\s*({_DATE_TOK}|Present|present)$")
+# inline form: the period is embedded in a header line ("Co-Founder &
+# Software Engineer 01/2022 – Present")
+_PERIOD_INLINE_RE = re.compile(
+    rf"({_DATE_TOK})\s*(?:[-–—]|to)\s*({_DATE_TOK}|Present|present|Ongoing)")
+_BULLET_RE = re.compile(r"^[●•▪‣]\s*")
 _LOCATION_RE = re.compile(r"^([A-Z][A-Za-z .'-]+),\s*([A-Z][A-Za-z .'-]+)$")
 
 
@@ -280,6 +285,41 @@ def _personal(lines: list[str], links: list[str],
     return pi
 
 
+_DEGREE_RE = re.compile(
+    r"\b(Bachelor|Master|PhD|Ph\.D|Doctorate|Diploma|MBA|BSc|MSc|B\.S|M\.S"
+    r"|Degree|Laurea)\b", re.I)
+
+_TRAIL_LOC_RE = re.compile(
+    r"^(.*?)\s+([A-Z][A-Za-z.'-]+,\s*[A-Z][A-Za-z .'-]+)$")
+
+
+_COUNTRIES = {
+    "Italy", "Ireland", "France", "Germany", "Spain", "Portugal",
+    "Netherlands", "Belgium", "Switzerland", "Austria", "Poland",
+    "Sweden", "Norway", "Denmark", "Finland", "Greece", "England",
+    "Scotland", "Wales", "UK", "USA", "Canada", "Mexico", "Brazil",
+    "Argentina", "Chile", "India", "China", "Japan", "Korea",
+    "Australia", "Singapore", "Israel", "Turkey", "Egypt", "Nigeria",
+    "Kenya", "Morocco", "Romania", "Hungary", "Czechia", "Slovakia",
+    "Croatia", "Serbia", "Bulgaria", "Ukraine", "Estonia", "Latvia",
+    "Lithuania", "Iceland", "Luxembourg", "Malta", "Cyprus",
+}
+
+
+def _strip_trailing_location(line: str) -> tuple[str, str | None]:
+    """Two-column headers render as '<name> <City, Country>' on one
+    line; split them ('University of Genoa Genoa, Italy'). A single
+    trailing word counts as a location only when it is a known country
+    name ('BlockChain Rush Italy' — but never 'Trinity College')."""
+    m = _TRAIL_LOC_RE.match(line)
+    if m:
+        return m.group(1), m.group(2)
+    m = re.match(r"^(.*\S)\s+([A-Z][a-zA-Z]{2,})$", line)
+    if m and m.group(2) in _COUNTRIES:
+        return m.group(1), m.group(2)
+    return line, None
+
+
 def _education_group(g: list[str]) -> dict:
     edu = {"education_level": None, "institution": None,
            "field_of_study": None, "final_evaluation_grade": None,
@@ -291,6 +331,26 @@ def _education_group(g: list[str]) -> dict:
         if m:
             edu["start_date"] = m.group(1)
             edu["year_of_completion"] = m.group(2)
+            continue
+        # exam bullets: "● Course Name -> GPA: 4"
+        bm = re.match(r"^[●•▪‣-]\s*(.+?)\s*-+>\s*(.+)$", ln)
+        if bm:
+            exam[bm.group(1)] = bm.group(2)
+            continue
+        # pipe header: "Bachelor's Degree | Computer Science | GPA: 4/4 2020 – 2023"
+        if "|" in ln and _DEGREE_RE.search(ln.split("|")[0]):
+            fields = [f.strip() for f in ln.split("|")]
+            edu["education_level"] = fields[0]
+            if len(fields) > 1:
+                edu["field_of_study"] = fields[1]
+            tail = " ".join(fields[2:])
+            pm = _PERIOD_INLINE_RE.search(tail)
+            if pm:
+                edu["start_date"] = pm.group(1)
+                edu["year_of_completion"] = pm.group(2)
+                tail = (tail[:pm.start()] + tail[pm.end():]).strip()
+            if tail:
+                edu["final_evaluation_grade"] = tail
             continue
         gm = re.match(r"^(?:Grade|GPA|Final grade)\s*:\s*(.+)$", ln, re.I)
         if gm:
@@ -310,10 +370,35 @@ def _education_group(g: list[str]) -> dict:
             continue
         rest.append(ln)
     if rest and edu["institution"] is None:
-        edu["institution"] = rest[0]
+        edu["institution"] = _strip_trailing_location(rest[0])[0]
     if exam:
         edu["exam"] = exam
     return edu
+
+
+def _split_period_entries(g: list[str]) -> list[list[str]]:
+    """Split one blank-line group holding several employers (dense
+    layouts have no blank lines between entries): a new entry starts at
+    a non-bullet line whose NEXT line carries an inline period and is
+    itself period-free ('BlockChain Rush Italy' / 'Co-Founder ...
+    01/2022 – Present')."""
+    entries: list[list[str]] = []
+    cur: list[str] = []
+    for i, ln in enumerate(g):
+        nxt = g[i + 1] if i + 1 < len(g) else ""
+        is_header = (cur
+                     and not _BULLET_RE.match(ln)
+                     and not _PERIOD_INLINE_RE.search(ln)
+                     and not _BULLET_RE.match(nxt)
+                     and _PERIOD_INLINE_RE.search(nxt) is not None)
+        if is_header:
+            entries.append(cur)
+            cur = [ln]
+        else:
+            cur.append(ln)
+    if cur:
+        entries.append(cur)
+    return entries
 
 
 def _experience_group(g: list[str]) -> dict:
@@ -321,18 +406,35 @@ def _experience_group(g: list[str]) -> dict:
            "location": None, "industry": None,
            "key_responsibilities": None, "skills_acquired": None}
     resp: list[str] = []
-    for i, ln in enumerate(g):
-        if i == 0:
-            m = re.match(r"^(.+?)\s+at\s+(.+)$", ln)
-            if m:
-                exp["position"], exp["company"] = m.group(1), m.group(2)
-            else:
-                m2 = re.match(r"^(.+?)\s*[—|]\s*(.+)$", ln)
-                if m2:
-                    exp["position"], exp["company"] = m2.group(1), m2.group(2)
+    body = g
+    # company-first header pair: line0 = "Company [Location]", line1 =
+    # "Position <period>" (period embedded, position text non-empty)
+    if len(g) >= 2 and not _BULLET_RE.match(g[0]) \
+            and not _PERIOD_INLINE_RE.search(g[0]) \
+            and not _BULLET_RE.match(g[1]):
+        pm = _PERIOD_INLINE_RE.search(g[1])
+        pos_rest = (g[1][:pm.start()] + g[1][pm.end():]).strip() if pm else ""
+        if pm and pos_rest:
+            exp["company"], exp["location"] = _strip_trailing_location(g[0])
+            exp["position"] = pos_rest
+            exp["employment_period"] = pm.group(0)
+            body = g[2:]
+    if body is g:  # legacy position-first forms
+        for i, ln in enumerate(g):
+            if i == 0:
+                m = re.match(r"^(.+?)\s+at\s+(.+)$", ln)
+                if m:
+                    exp["position"], exp["company"] = m.group(1), m.group(2)
                 else:
-                    exp["position"] = ln
-            continue
+                    m2 = re.match(r"^(.+?)\s*[—|]\s*(.+)$", ln)
+                    if m2:
+                        exp["position"], exp["company"] = (m2.group(1),
+                                                           m2.group(2))
+                    else:
+                        exp["position"] = ln
+                body = g[1:]
+                break
+    for ln in body:
         if _PERIOD_RE.match(ln):
             exp["employment_period"] = ln
             continue
@@ -345,13 +447,17 @@ def _experience_group(g: list[str]) -> dict:
         if im:
             exp["industry"] = im.group(1)
             continue
-        if ln.startswith("- "):
-            resp.append(ln[2:])
+        if ln.startswith("- ") or _BULLET_RE.match(ln):
+            resp.append(_BULLET_RE.sub("", ln[2:] if ln.startswith("- ")
+                                       else ln))
             continue
         lm = _LOCATION_RE.match(ln)
         if lm and exp["location"] is None:
             exp["location"] = ln
             continue
+        if resp:
+            # wrapped continuation of the previous bullet
+            resp[-1] = resp[-1] + " " + ln
     if resp:
         exp["key_responsibilities"] = resp
     return exp
@@ -412,7 +518,8 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                     education.append(_education_group(g))
         elif kind == "experience":
             for g in _groups(lines):
-                experience.append(_experience_group(g))
+                for entry in _split_period_entries(g):
+                    experience.append(_experience_group(entry))
         elif kind == "projects":
             for g in _groups(lines):
                 projects.append(_project_group(g))
@@ -440,6 +547,17 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                     else:
                         interests.extend(s.strip() for s in ln.split(",")
                                          if s.strip())
+    if not languages:
+        # fallback: languages rendered as a skills-style bullet anywhere
+        # ("● Languages (Italian - Native, English - Professional)") —
+        # section headers like ADDITIONAL don't classify, so scan text
+        lm = re.search(r"\bLanguages?\s*\(([^)]*)\)", text)
+        if lm:
+            for part in lm.group(1).split(","):
+                pm = re.match(r"^(.+?)\s*[-–:]\s*(.+)$", part.strip())
+                if pm:
+                    languages.append({"language": pm.group(1).strip(),
+                                      "proficiency": pm.group(2).strip()})
 
     if education:
         out["education_details"] = education

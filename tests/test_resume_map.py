@@ -256,3 +256,45 @@ def test_personal_info_nonnull_coverage():
         if all(pi.get(k) for k in ("email", "phone", "surname")):
             ok += 1
     assert ok >= 4
+
+
+def test_reference_golden_section_recall():
+    """Education / experience / language recall vs the reference's own
+    golden for FedericoElia (cv_output/resume.json). 16/17 core fields
+    match; the one known divergence is the golden's start-month typo
+    (the PDF itself reads 11/2023, the golden says 11/2022)."""
+    import os
+
+    import pytest
+
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+
+    if not os.path.exists("/root/reference/cv_output/resume.json"):
+        pytest.skip("reference goldens not present")
+    ref = json.load(open("/root/reference/cv_output/resume.json"))
+    r = extract_pdf(open("/root/reference/FedericoElia.pdf", "rb").read())
+    m = map_resume(r["text"], r["links"])
+
+    edu, gedu = m["education_details"][0], ref["education_details"][0]
+    for k in ("education_level", "institution", "field_of_study",
+              "final_evaluation_grade", "start_date"):
+        assert str(edu[k]) == str(gedu[k]), k
+    # our kernel is byte-faithful to the PDF's fi-ligature; the LLM
+    # golden normalized it — compare NFKC-normalized keys
+    import unicodedata
+
+    def nfkc(keys):
+        return {unicodedata.normalize("NFKC", k) for k in keys}
+    assert nfkc(edu["exam"]) == nfkc(gedu["exam"])
+
+    exps, gexps = m["experience_details"], ref["experience_details"]
+    assert len(exps) == len(gexps) == 3
+    for o, g in zip(exps, gexps):
+        assert o["position"] == g["position"]
+        assert o["company"] == g["company"]
+        assert o["location"] == g["location"]
+    assert exps[0]["employment_period"] == gexps[0]["employment_period"]
+    # responsibilities: wrapped bullets merged, full sentences preserved
+    assert exps[0]["key_responsibilities"] == gexps[0]["key_responsibilities"]
+
+    assert m["languages"] == ref["languages"]
