@@ -28,7 +28,7 @@ HEADLINE_QUERIES = [
     "dedup_exact", "minhash_signatures", "simhash",
     "ann_topk_bruteforce", "ann_lsh_buckets",
     "token_count", "quality_score", "lang_id_heuristic",
-    "extract_html_identity",
+    "extract_html_identity", "extract_pdf_identity",
 ]
 
 

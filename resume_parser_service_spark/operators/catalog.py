@@ -642,9 +642,11 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type""")
 
     # --- json functions (events.props; A8 defensive ingest) ---
+    # from_json with an explicit schema beats get_json_object (regex
+    # path-eval per row) and exercises the PERMISSIVE ingest mode
     c["json_extract_props"] = _sql("""
 SELECT event_type,
-       sum(cast(get_json_object(props, '$.k') as bigint)) AS k_sum,
+       cast(sum(from_json(props, 'k BIGINT').k) as bigint) AS k_sum,
        count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
         duck_sql="""
