@@ -101,12 +101,16 @@ class SnapshotTable:
         if not paths:
             return None
         if not self.buckets:
-            return spark.read.parquet(*paths)
+            # mergeSchema: snapshots written before a column was added
+            # (schema evolution) still union cleanly — missing columns
+            # read as NULL, matching Iceberg's evolution semantics
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
         # bucketed layout: each snapshot dir is its own partitioned base
         df = None
         for p in paths:
             part = spark.read.option("basePath", p).parquet(p)
-            df = part if df is None else df.unionByName(part)
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True)
         return df
 
     def point_lookup(self, spark: SparkSession, key: str) -> DataFrame:

@@ -98,3 +98,17 @@ def test_bucketed_point_lookup(spark, tmp_path):
     # read_current still resolves replace-on-key across snapshots
     cur = {r["url"]: r["text"] for r in tbl.read_current(spark).collect()}
     assert cur["u7"] == "text7-v2" and len(cur) == 50
+
+
+def test_schema_evolution_across_snapshots(spark, tmp_path):
+    """A column added in a later snapshot reads back across the union
+    (older rows NULL) — Iceberg-style schema evolution semantics."""
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([("u1", 1)], "url string, v int"))
+    t.commit(spark.createDataFrame([("u2", 2, "x")],
+                                   "url string, v int, extra string"))
+    rows = {r["url"]: r for r in t.read(spark).collect()}
+    assert rows["u1"]["extra"] is None
+    assert rows["u2"]["extra"] == "x"
