@@ -83,10 +83,109 @@ def _content_stream(page_text: str) -> bytes:
     return b"\n".join(ops)
 
 
+def _ascii85_encode(data: bytes) -> bytes:
+    """ASCII85 per spec 7.4.3 (with '~>' terminator, no 'z' shorthand)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        acc = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(acc % 85)
+            acc //= 85
+        out += bytes(33 + d for d in reversed(digits))[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (spec 7.4.5) + EOD byte."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (j < n and j - i < 128 and
+                   not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out) + b"\x80"
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode-compatible encoder (spec 7.4.4, MSB-first 9->12 bit
+    codes, EarlyChange honored by tracking the DECODER's table length
+    so width switches line up exactly)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_len = 258  # decoder-side table length (lags encoder by one)
+    bits: list[tuple[int, int]] = [(256, width)]
+    first = True
+
+    def bump_after_emit():
+        nonlocal dec_len, width, first
+        if first:  # decoder appends nothing on the first code
+            first = False
+        else:
+            dec_len += 1
+        if dec_len + early_change >= (1 << width) and width < 12:
+            width += 1
+
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        bits.append((table[cur], width))
+        bump_after_emit()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        cur = bytes([b])
+    if cur:
+        bits.append((table[cur], width))
+        bump_after_emit()
+    bits.append((257, width))
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for code, w in bits:
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# content-stream filter name -> (encoder, needs /DecodeParms)
+_FILTERS = {
+    "FlateDecode": lambda d: zlib.compress(d, 9),
+    "ASCIIHexDecode": lambda d: d.hex().encode("ascii") + b">",
+    "ASCII85Decode": _ascii85_encode,
+    "RunLengthDecode": _runlength_encode,
+    "LZWDecode": _lzw_encode,
+}
+
+
 def make_pdf(pages: list[str], links: list[str] | None = None,
              compress: bool = True, xref_stream: bool = False,
              objstm: bool = False, tounicode: bool = True,
-             differences: dict[int, str] | None = None) -> bytes:
+             differences: dict[int, str] | None = None,
+             content_filter: str | list[str] | None = None) -> bytes:
     """Build a deterministic multi-page PDF carrying ``pages`` texts.
 
     ``links`` become ``/URI`` link annotations on page 1 (order kept),
@@ -102,6 +201,11 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
     through the /Encoding tables (the no-ToUnicode breadth path);
     ``differences`` writes an /Encoding dict with a /Differences array
     mapping byte codes to glyph NAMES (e.g. {233: "eacute"}).
+
+    ``content_filter`` overrides ``compress`` with an explicit content
+    stream filter name or chain in decode order (e.g. "LZWDecode" or
+    ["ASCII85Decode", "FlateDecode"]) — exercises the kernel's
+    non-Flate filter paths (spec 7.4).
     """
     if not pages:
         raise ValueError("need at least one page")
@@ -148,7 +252,22 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
             b" /Resources << /Font << /F1 3 0 R >> >>"
             b" /Contents %d 0 R" % content_obj[i] + annots + b" >>")
         raw = _content_stream(pages[i])
-        if compress:
+        if content_filter is not None:
+            # /Filter lists names in DECODE order (spec 7.3.8.2), so the
+            # encoders run in reverse.
+            names = ([content_filter] if isinstance(content_filter, str)
+                     else list(content_filter))
+            data = raw
+            for nm in reversed(names):
+                data = _FILTERS[nm](data)
+            if len(names) == 1:
+                fspec = b"/Filter /" + names[0].encode("ascii")
+            else:
+                fspec = (b"/Filter [" +
+                         b" ".join(b"/" + nm.encode("ascii") for nm in names)
+                         + b"]")
+            head = b"<< /Length %d %s >>" % (len(data), fspec)
+        elif compress:
             data = zlib.compress(raw, 9)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
         else:

@@ -10,10 +10,13 @@ annotations dropped).
 
 Built from the public PDF 1.7 spec (ISO 32000-1). Scope (matches every
 reference fixture, probed — see FIXTURES.md §5): classic xref tables
-(incl. /Prev chains), FlateDecode, simple + Type0 fonts with ToUnicode
-CMaps, BT/ET text blocks with Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/" operators,
-q/Q/cm graphics state. Unsupported filters (DCTDecode images etc.) are
-skipped — they carry no text.
+(incl. /Prev chains) AND PDF 1.5+ xref/object streams, stream filters
+FlateDecode (with PNG predictors) / LZWDecode / ASCIIHexDecode /
+ASCII85Decode / RunLengthDecode, simple + Type0 fonts with ToUnicode
+CMaps or /Encoding tables (WinAnsi/MacRoman/Standard + /Differences),
+BT/ET text blocks with Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/" operators, q/Q/cm
+graphics state. Unsupported filters (DCTDecode images etc.) are
+skipped — they carry no text; encrypted files raise PdfError.
 
 Output contract (total, version-frozen; bump KERNEL_VERSION on change):
 text runs are grouped into lines by device-space baseline (banded at
@@ -33,7 +36,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.3.0"
+KERNEL_VERSION = "pdf-1.4.0"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -472,6 +475,29 @@ class _Document:
                 if len(hexs) % 2:
                     hexs += b"0"
                 data = bytes.fromhex(hexs.decode("ascii"))
+            elif f in ("ASCII85Decode", "A85"):
+                try:
+                    data = _ascii85_decode(data)
+                except ValueError:
+                    return None
+            elif f in ("RunLengthDecode", "RL"):
+                data = _runlength_decode(data)
+            elif f in ("LZWDecode", "LZW"):
+                parms = self.resolve(stream.dict.get("DecodeParms"))
+                early = 1
+                if isinstance(parms, dict):
+                    early = int(self.resolve(parms.get("EarlyChange")) or 1)
+                try:
+                    data = _lzw_decode(data, early)
+                except ValueError:
+                    return None
+                if isinstance(parms, dict) and self.resolve(
+                        parms.get("Predictor")) not in (None, 1):
+                    data = _undo_png_predictor(
+                        data,
+                        int(self.resolve(parms.get("Columns")) or 1),
+                        int(self.resolve(parms.get("Colors")) or 1),
+                        int(self.resolve(parms.get("BitsPerComponent")) or 8))
             else:
                 return None  # DCTDecode etc. — no text content
         return data
@@ -509,6 +535,110 @@ class _Document:
         if not out:
             raise PdfError("no pages")
         return out
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (spec 7.4.3): 5 chars '!'..'u' -> 4 bytes base-85,
+    'z' is a zero-group shorthand, '~>' terminates, whitespace ignored.
+    A trailing partial group of n chars yields n-1 bytes."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in _WS:
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("z inside ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise ValueError("bad ascii85 byte")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                raise ValueError("ascii85 group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ascii85 dangling single char")
+        n = len(group)
+        acc = 0
+        for d in group + [84] * (5 - n):
+            acc = acc * 85 + d
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec 7.4.5): length byte L<=127 copies the next
+    L+1 bytes; L>=129 repeats the next byte 257-L times; 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - ln)
+                i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (spec 7.4.4): MSB-first variable-width codes 9->12
+    bits, clear=256, EOD=257. ``early_change=1`` (default) widens the
+    code one entry before the table fills, per TIFF/PDF convention."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _undo_png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:

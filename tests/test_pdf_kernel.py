@@ -133,6 +133,54 @@ def test_uniXXXX_glyph_names():
     assert extract_pdf(pdf)["text"] == "a€b"
 
 
+@pytest.mark.parametrize("flt", ["ASCIIHexDecode", "ASCII85Decode",
+                                 "RunLengthDecode", "LZWDecode"])
+def test_roundtrip_content_filters(flt):
+    """Non-Flate content-stream filters (spec 7.4) round-trip — the
+    PDF-breadth path for Common-Crawl corpora where older tooling emits
+    LZW/ASCII85/RunLength streams."""
+    # enough repeated-but-varied text to push LZW past the 9->10 bit
+    # code-width boundary (needs >253 appended table entries)
+    pages = ["line %d: the quick brown fox jumps over the lazy dog %d"
+             % (i, i * 7) for i in range(40)]
+    text = "\n".join(pages)
+    res = extract_pdf(make_pdf([text], content_filter=flt))
+    assert res["text"] == text
+
+
+def test_roundtrip_filter_chain():
+    """/Filter arrays apply in decode order (spec 7.3.8.2)."""
+    text = "chained filters\nascii85 over flate"
+    pdf = make_pdf([text], content_filter=["ASCII85Decode", "FlateDecode"])
+    assert b"/Filter [/ASCII85Decode /FlateDecode]" in pdf
+    assert extract_pdf(pdf)["text"] == text
+
+
+def test_lzw_decoder_width_boundaries():
+    """LZW round-trip across the 10->11 bit boundary (>765 entries) and
+    EarlyChange=0 variant, plus z-shorthand + whitespace in ASCII85."""
+    from resume_parser_service_spark.kernels.pdf_gen import (_ascii85_encode,
+                                                             _lzw_encode)
+    from resume_parser_service_spark.kernels.pdf_text import (_ascii85_decode,
+                                                              _lzw_decode)
+    import random
+    rng = random.Random(7)
+    blob = bytes(rng.randrange(0, 8) for _ in range(6000))
+    assert _lzw_decode(_lzw_encode(blob, 1), 1) == blob
+    assert _lzw_decode(_lzw_encode(blob, 0), 0) == blob
+    assert _ascii85_decode(b"z \n z~>") == b"\x00" * 8
+    assert _ascii85_decode(_ascii85_encode(blob)) == blob
+
+
+def test_runlength_decoder_spec_cases():
+    from resume_parser_service_spark.kernels.pdf_gen import _runlength_encode
+    from resume_parser_service_spark.kernels.pdf_text import _runlength_decode
+    # literal run, repeat run, EOD mid-stream
+    assert _runlength_decode(b"\x02abc\xfeX\x80IGNORED") == b"abcXXX"
+    blob = b"aaaaabcdefffffffg" * 11 + b"\x00" * 200
+    assert _runlength_decode(_runlength_encode(blob)) == blob
+
+
 def test_encrypted_pdf_raises_pdferror():
     """Encrypted files fail loudly into the FileProcessingError audit
     path instead of emitting mojibake (VERDICT.md r1 item 5)."""

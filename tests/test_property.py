@@ -56,6 +56,21 @@ def test_pdf_truncation_fails_closed(truncate_at):
         pass
 
 
+@settings(max_examples=80, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=3000),
+       early=st.integers(min_value=0, max_value=1))
+def test_stream_codecs_roundtrip_property(blob, early):
+    """encoder(decoder) identity for every non-Flate stream codec the
+    kernel supports, on arbitrary bytes (spec 7.4)."""
+    from resume_parser_service_spark.kernels.pdf_gen import (
+        _ascii85_encode, _lzw_encode, _runlength_encode)
+    from resume_parser_service_spark.kernels.pdf_text import (
+        _ascii85_decode, _lzw_decode, _runlength_decode)
+    assert _ascii85_decode(_ascii85_encode(blob)) == blob
+    assert _runlength_decode(_runlength_encode(blob)) == blob
+    assert _lzw_decode(_lzw_encode(blob, early), early) == blob
+
+
 _word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
                 min_size=1, max_size=12)
 _paragraph = st.lists(_word, min_size=3, max_size=30).map(" ".join)
