@@ -57,8 +57,27 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
+    def live_snapshots(self, version: int | None = None) -> list[dict]:
+        """Snapshot chain as of ``version``: compaction snapshots
+        replace the snapshots they absorbed (manifest ``replaces``,
+        Iceberg rewrite_data_files semantics); expired snapshots inside
+        the requested range raise — their data files are gone."""
+        snaps = [s for s in self.snapshots()
+                 if version is None or s["id"] <= version]
+        replaced: set[int] = set()
+        for s in snaps:
+            replaced.update(s.get("replaces") or [])
+        live = [s for s in snaps if s["id"] not in replaced]
+        gone = [s["id"] for s in live if s.get("expired")]
+        if gone:
+            raise ValueError(
+                f"time travel to version {version} needs expired "
+                f"snapshot(s) {gone} — past the retention horizon")
+        return live
+
     # ----------------------------------------------------------- commit --
-    def commit(self, df: DataFrame, partitions: int | None = None) -> int:
+    def commit(self, df: DataFrame, partitions: int | None = None,
+               replaces: list[int] | None = None) -> int:
         """Append ``df`` as a new snapshot. Data lands fully before the
         manifest appears (os.replace is atomic), so readers never see a
         partial commit and a crashed run leaves no visible snapshot.
@@ -85,19 +104,68 @@ class SnapshotTable:
         else:
             out.write.mode("overwrite").parquet(path)
         manifest = {"id": snap_id, "parent": last["id"] if last else None,
-                    "path": rel, "committed_at": time.time()}
+                    "path": rel, "committed_at": time.time(),
+                    "files": self._file_stats(path)}
+        if replaces:
+            manifest["replaces"] = sorted(replaces)
+            manifest["compaction"] = True
         tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.snap_dir, f"{snap_id:06d}.json"))
         return snap_id
 
+    def _file_stats(self, path: str) -> list[dict]:
+        """Per-data-file manifest stats (Iceberg manifest-entry
+        equivalent): rows, bytes, and min/max of the key column read
+        from the parquet footers (pyarrow, driver-side, no Spark job) —
+        lets point lookups and key-range scans prune files without
+        opening them."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # stats are an optimization, never required
+            return []
+        out: list[dict] = []
+        for dirpath, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, f)
+                entry: dict = {"path": os.path.relpath(fp, self.root),
+                               "bytes": os.path.getsize(fp)}
+                try:
+                    meta = pq.ParquetFile(fp).metadata
+                    entry["rows"] = meta.num_rows
+                    idx = {meta.schema.column(i).name: i
+                           for i in range(meta.num_columns)}
+                    ki = idx.get(self.key_col)
+                    lo = hi = None
+                    if ki is not None:
+                        for rg in range(meta.num_row_groups):
+                            st = meta.row_group(rg).column(ki).statistics
+                            if st is None or not st.has_min_max:
+                                lo = hi = None
+                                break
+                            mn, mx = st.min, st.max
+                            if isinstance(mn, bytes):
+                                mn = mn.decode("utf-8", "replace")
+                                mx = mx.decode("utf-8", "replace")
+                            lo = mn if lo is None else min(lo, mn)
+                            hi = mx if hi is None else max(hi, mx)
+                    if lo is not None:
+                        entry["key_min"], entry["key_max"] = lo, hi
+                except Exception:  # noqa: BLE001 — footer quirks: skip stats
+                    pass
+                out.append(entry)
+        return out
+
     # ------------------------------------------------------------- read --
     def read(self, spark: SparkSession, version: int | None = None
              ) -> DataFrame | None:
-        """Union of snapshots up to ``version`` (time travel)."""
-        paths = [os.path.join(self.root, s["path"]) for s in self.snapshots()
-                 if version is None or s["id"] <= version]
+        """Union of snapshots up to ``version`` (time travel). Compacted
+        snapshots are read via their compaction; expired ones raise."""
+        paths = [os.path.join(self.root, s["path"])
+                 for s in self.live_snapshots(version)]
         if not paths:
             return None
         if not self.buckets:
@@ -121,13 +189,19 @@ class SnapshotTable:
         if self.buckets:
             b = _hash60_py(key) % self.buckets
             paths = [os.path.join(self.root, s["path"], f"_bucket={b}")
-                     for s in self.snapshots()]
+                     for s in self.live_snapshots()]
             paths = [p for p in paths if os.path.exists(p)]
             if not paths:
                 return spark.createDataFrame([], "url string")
             df = spark.read.parquet(*paths)
         else:
-            df = self.read(spark)
+            files = self.prune_files(key_eq=key)
+            if files is not None:
+                if not files:
+                    return spark.createDataFrame([], "url string")
+                df = spark.read.option("mergeSchema", "true").parquet(*files)
+            else:
+                df = self.read(spark)
         rest = [c for c in df.columns if c != self.key_col]
         cur = (df.filter(F.col(self.key_col) == key)
                .groupBy(self.key_col)
@@ -212,6 +286,80 @@ class SnapshotTable:
         if victims.isEmpty():
             return None
         return self.commit(victims)
+
+    # ------------------------------------------------------ maintenance --
+    def prune_files(self, key_eq=None, key_min=None, key_max=None
+                    ) -> list[str] | None:
+        """Manifest-stats file pruning: data files whose ``key_col``
+        [min,max] range can contain the predicate. Returns None when any
+        live file lacks stats (caller falls back to a full scan)."""
+        files: list[str] = []
+        for s in self.live_snapshots():
+            entries = s.get("files")
+            if not entries:
+                return None
+            for e in entries:
+                if "key_min" not in e:
+                    return None
+                if key_eq is not None and not (
+                        e["key_min"] <= key_eq <= e["key_max"]):
+                    continue
+                if key_min is not None and e["key_max"] < key_min:
+                    continue
+                if key_max is not None and e["key_min"] > key_max:
+                    continue
+                files.append(os.path.join(self.root, e["path"]))
+        return files
+
+    def compact(self, spark: SparkSession,
+                target_file_mb: int = 128) -> dict:
+        """Bin-pack compaction (Iceberg ``rewrite_data_files`` +
+        dangling-delete removal): rewrite the resolved current state —
+        one row per key, tombstones dropped — as ONE new snapshot sized
+        to ``target_file_mb`` files, which replaces every prior
+        snapshot. Time travel to pre-compaction versions keeps working
+        until ``expire_snapshots`` reclaims them. At 100 TB this is the
+        small-file defense: a streaming/incremental ingest lands
+        thousands of delta files whose per-file overhead (footer reads,
+        task scheduling) dominates scans until they're rewritten."""
+        snaps = self.live_snapshots()
+        if not snaps:
+            return {"compacted": 0, "snapshot_id": None}
+        cur = self.read_current(spark)
+        total_bytes = sum(e.get("bytes", 0) for s in snaps
+                          for e in (s.get("files") or []))
+        n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
+        snap = self.commit(cur, partitions=n_files,
+                           replaces=[s["id"] for s in snaps])
+        return {"compacted": len(snaps), "snapshot_id": snap,
+                "data_files": n_files}
+
+    def expire_snapshots(self) -> list[int]:
+        """Reclaim the data of snapshots replaced by a compaction
+        (Iceberg ``expire_snapshots``): current reads never touch them,
+        only pre-compaction time travel does. Expired manifests stay
+        (audit trail, marked ``expired``) but their data dirs are
+        deleted — time travel past the horizon then raises in
+        ``live_snapshots``."""
+        import shutil
+        all_snaps = self.snapshots()
+        replaced: set[int] = set()
+        for s in all_snaps:
+            replaced.update(s.get("replaces") or [])
+        victims = [s for s in all_snaps
+                   if s["id"] in replaced and not s.get("expired")]
+        expired: list[int] = []
+        for s in victims:
+            data_dir = os.path.join(self.root, s["path"])
+            shutil.rmtree(data_dir, ignore_errors=True)
+            s["expired"] = True
+            tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump(s, fh)
+            os.replace(tmp, os.path.join(self.snap_dir,
+                                         f"{s['id']:06d}.json"))
+            expired.append(s["id"])
+        return expired
 
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:
         df = self.read(spark)
