@@ -92,14 +92,27 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     of silently returning partial labels."""
     register_views(spark, sf_dir)
     _ensure_checkpoint_dir(spark)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = spark.sql(_edges_sql("spark"))
     docs = spark.table("documents").select("doc_id")
-    # self-loops keep isolated docs in the propagation
-    sym = edges.unionByName(
-        docs.select(F.col("doc_id").alias("src"),
-                    F.col("doc_id").alias("dst"))).persist()
+    # Self-loops keep isolated docs in the propagation. The edge table
+    # is the BIG side and is static across rounds: pre-hash-partition it
+    # on the join key before persisting — InMemoryTableScan preserves
+    # outputPartitioning, so every round's join shuffles only the small
+    # mutable label frame, not the edges.
+    sym = (edges.unionByName(
+               docs.select(F.col("doc_id").alias("src"),
+                           F.col("doc_id").alias("dst")))
+           .repartition(n_part, "dst").persist())
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
         .persist()
+
+    def label_sum(frame: DataFrame) -> int:
+        # decimal(38,0): immune to bigint overflow at 10^12-scale ids
+        return int(frame.agg(F.sum(F.col("cluster_id")
+                                   .cast("decimal(38,0)"))).collect()[0][0])
+
+    prev_sum = label_sum(labels)
     try:
         converged = False
         for rnd in range(1, MAX_ROUNDS + 1):
@@ -110,15 +123,17 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
             if rnd % CHECKPOINT_EVERY == 0:
                 new_labels = new_labels.checkpoint(eager=False)
             new_labels = new_labels.persist()
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "doc_id")
-                       .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                       .limit(1).count())
+            # Convergence check without a labels-vs-labels join: under
+            # min-propagation labels only ever decrease, so an unchanged
+            # sum(cluster_id) IS the fixpoint. One cheap agg over the
+            # frame the round materializes anyway.
+            new_sum = label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 converged = True
                 break
+            prev_sum = new_sum
         if not converged:
             msg = (f"dedup_clusters: label propagation did not converge "
                    f"in {MAX_ROUNDS} rounds; labels may be partial")
