@@ -209,8 +209,31 @@ def _vec_expand(dialect: str) -> str:
             "cast(unnest(embedding) as double) AS v FROM embeddings")
 
 
+def _cand_dot(dialect: str) -> str:
+    """Exact dot product over candidate pairs. Spark: array math
+    (zip_with + aggregate) against two broadcast-sized joins of the
+    embeddings table — no candidates x d element-row blowup, stays in
+    whole-stage codegen. DuckDB oracle: equivalent element join over the
+    expanded view (oracle runs at sf0.01 only; clarity over speed)."""
+    if dialect == "spark":
+        return """
+  SELECT c.vec_a, c.vec_b,
+         aggregate(zip_with(ea.embedding, eb.embedding,
+                            (x, y) -> cast(x as double) * cast(y as double)),
+                   cast(0 as double), (acc, z) -> acc + z) AS dot
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b"""
+    return """
+  SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
+  FROM cand c
+  JOIN e x ON x.vec_id = c.vec_a
+  JOIN e y ON y.vec_id = c.vec_b AND y.i = x.i
+  GROUP BY c.vec_a, c.vec_b"""
+
+
 def _cosine_pairs_sql(dialect: str, threshold: float = 0.45,
-                      n_planes: int = 8, band_size: int = 2) -> str:
+                      n_planes: int = 16, band_size: int = 4) -> str:
     """Embedding near-dup pairs: banded random-hyperplane LSH candidate
     generation + exact cosine verification — the scale-safe shape (an
     all-pairs element self-join is O(N^2 d); here only pairs colliding
@@ -218,6 +241,13 @@ def _cosine_pairs_sql(dialect: str, threshold: float = 0.45,
     hash-derived ((hash60(p#i) % 1001) - 500) so both engines see
     identical geometry with no stored randomness; math is double-cast
     and 4-decimal-rounded so the engines agree bit-for-bit.
+
+    4 bands x 4 bits: 16 buckets per band keeps the candidate set
+    ~bucket-balanced (vs 2-bit bands, where 4 buckets made nearly every
+    pair a candidate); true near-dups (sim >= 0.9) still collide in
+    >= 1 band with ~88% probability per band math. Exact verification
+    runs as an array dot product against the (broadcastable) embeddings
+    table on the Spark side — no candidates x d element-join blowup.
 
     Threshold 0.45 is calibrated to the synthetic embeddings fixture
     (max pair sim ~0.51 at sf0.01) so the driver check compares
@@ -235,10 +265,17 @@ def _cosine_pairs_sql(dialect: str, threshold: float = 0.45,
 WITH e AS ({_vec_expand(dialect)}),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
 planes AS ({planes}),
+pw AS (
+  -- plane weights materialized once per (plane, dim): n_planes x d tiny
+  -- rows (Spark broadcasts them) instead of evaluating the md5-derived
+  -- weight per vector element
+  SELECT p, i, ({h} % 1001 - 500) AS w
+  FROM planes CROSS JOIN (SELECT DISTINCT i FROM e) dims
+),
 pdots AS (
-  SELECT e.vec_id, planes.p, sum(e.v * ({h} % 1001 - 500)) AS dot
-  FROM e CROSS JOIN planes
-  GROUP BY e.vec_id, planes.p
+  SELECT e.vec_id, pw.p, sum(e.v * pw.w) AS dot
+  FROM e JOIN pw ON pw.i = e.i
+  GROUP BY e.vec_id, pw.p
 ),
 bb AS (
   SELECT vec_id, cast(floor(p / {band_size}.0) as int) AS band,
@@ -250,13 +287,7 @@ cand AS (
   FROM bb x JOIN bb y
     ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 ),
-dots AS (
-  SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
-  FROM cand c
-  JOIN e x ON x.vec_id = c.vec_a
-  JOIN e y ON y.vec_id = c.vec_b AND y.i = x.i
-  GROUP BY c.vec_a, c.vec_b
-)
+dots AS ({_cand_dot(dialect)})
 SELECT d.vec_a, d.vec_b,
        round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
 FROM dots d
@@ -314,10 +345,14 @@ def _lsh_bucket_sql(dialect: str, n_planes: int = 8) -> str:
     return f"""
 WITH e AS ({_vec_expand(dialect)}),
 planes AS ({planes}),
+pw AS (
+  SELECT p, i, ({h} % 1001 - 500) AS w
+  FROM planes CROSS JOIN (SELECT DISTINCT i FROM e) dims
+),
 dots AS (
-  SELECT e.vec_id, planes.p, sum(e.v * ({h} % 1001 - 500)) AS dot
-  FROM e CROSS JOIN planes
-  GROUP BY e.vec_id, planes.p
+  SELECT e.vec_id, pw.p, sum(e.v * pw.w) AS dot
+  FROM e JOIN pw ON pw.i = e.i
+  GROUP BY e.vec_id, pw.p
 )
 SELECT vec_id, cast({signs} as bigint) AS bucket
 FROM dots GROUP BY vec_id ORDER BY vec_id
