@@ -246,6 +246,7 @@ class _Document:
         self.data = data
         self._cache: dict[int, object] = {}
         self._font_cache: dict = {}  # doc-level: fonts shared across pages
+        self._rescanned = False
         self.offsets: dict[int, int] = {}
         self.trailer: dict = {}
         try:
@@ -423,8 +424,22 @@ class _Document:
             return obj
         data = self.data
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", data[off:off + 64])
-        if not m:
-            raise PdfError(f"object {num} not at recorded offset")
+        if not m or int(m.group(1)) != num:
+            # corrupt-but-parseable xref (offsets point at the wrong
+            # bytes — common in crawled/rewritten PDFs): rebuild the
+            # offset map once by scanning for "N G obj" markers, the
+            # standard recovery path (spec annex C.2 tolerance)
+            m = None
+            if not self._rescanned:
+                self._rescanned = True
+                self._cache.clear()
+                self._scan_objects()
+                off = self.offsets.get(num)
+                if off is not None and not isinstance(off, tuple):
+                    m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj",
+                                 data[off:off + 64])
+            if not m or int(m.group(1)) != num:
+                raise PdfError(f"object {num} not at recorded offset")
         obj, _ = _parse_object(data, off + m.end())
         if isinstance(obj, _Stream):
             length = self.resolve(obj.dict.get("Length"))
