@@ -26,6 +26,7 @@ HEADLINE_QUERIES = [
     "window_rank_per_source", "sessionize_events", "rollup_metrics",
     "explode_top_tokens", "json_extract_props",
     "dedup_exact", "minhash_signatures", "simhash",
+    "ngram_jaccard_pairs", "embedding_neardup_pairs", "dedup_clusters",
     "ann_topk_bruteforce", "ann_lsh_buckets",
     "token_count", "quality_score", "lang_id_heuristic",
     "extract_html_identity", "extract_pdf_identity",

@@ -67,11 +67,45 @@ def parse_warc(data: bytes) -> list[dict]:
                 .replace(tzinfo=timezone.utc)
         except ValueError:
             ts = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        # body is an HTTP response: strip the HTTP header block
+        # body is an HTTP response: strip the HTTP header block and undo
+        # transport encodings (RFC 9112 chunked framing, gzip content
+        # coding) — crawl WARCs store the raw wire bytes
         http_end = body.find(b"\r\n\r\n")
-        payload = body[http_end + 4:] if http_end >= 0 else body
+        if http_end >= 0:
+            http_hdrs = _parse_headers(body[:http_end])
+            payload = body[http_end + 4:]
+            if b"chunked" in http_hdrs.get(b"transfer-encoding", b"").lower():
+                payload = _dechunk(payload)
+            if b"gzip" in http_hdrs.get(b"content-encoding", b"").lower():
+                try:
+                    payload = gzip.GzipFile(
+                        fileobj=io.BytesIO(payload)).read()
+                except OSError:
+                    pass  # keep raw bytes; validation downstream rejects
+        else:
+            payload = body
         records.append({"url": url, "warc_ts": ts, "payload": payload})
     return records
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing (RFC 9112 §7.1)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = data[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += data[eol + 2:eol + 2 + size]
+        pos = eol + 2 + size + 2  # skip chunk payload + trailing CRLF
+    return bytes(out)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

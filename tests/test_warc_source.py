@@ -39,6 +39,33 @@ def test_parse_warc_gzip():
     assert len(parse_warc(raw)) == 3
 
 
+def test_parse_warc_transport_encodings():
+    """Chunked framing and gzip content-coding are undone — crawl WARCs
+    store raw HTTP wire bytes (RFC 9112 §7.1 / RFC 9110 §8.4)."""
+    import gzip as _gz
+
+    html = b"<html><body><p>wire-encoded page body content</p></body></html>"
+    gz_payload = _gz.compress(html)
+    chunked = (b"7\r\n<html><\r\n" +
+               (b"%x\r\n" % (len(html) - 7)) + html[7:] + b"\r\n" +
+               b"0\r\n\r\n")
+
+    def resp(extra_hdr: bytes, body: bytes) -> bytes:
+        http = (b"HTTP/1.1 200 OK\r\n" + extra_hdr +
+                b"\r\nContent-Length: %d\r\n\r\n" % len(body)) + body
+        return (b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: https://b.example/enc\r\n"
+                b"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(http)) + http + b"\r\n\r\n"
+
+    recs = parse_warc(resp(b"Content-Encoding: gzip", gz_payload))
+    assert recs[0]["payload"] == html
+    recs = parse_warc(resp(b"Transfer-Encoding: chunked", chunked))
+    assert recs[0]["payload"] == html
+
+
 def test_warc_to_extraction_job(spark, tmp_path):
     warc_dir = tmp_path / "warcs"
     warc_dir.mkdir()
