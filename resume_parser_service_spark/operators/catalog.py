@@ -118,28 +118,33 @@ FROM bitsums ORDER BY doc_id
 """
 
 
-def _shingle_sql(dialect: str) -> str:
-    """5-word shingle fingerprints per doc (n-gram dedup primitive)."""
+def _shingle_rel(dialect: str, n: int = 5) -> str:
+    """(doc_id, shingle) rows — one per ``n``-gram position — built by
+    ARRAY SLICING over the token array: a pure per-row map (explode of a
+    transform), ZERO shuffles. The r01 formulation self-joined the
+    exploded token table on (doc_id, pos) n times — n full shuffles of
+    the corpus' tokens before any aggregation, a scale anti-pattern."""
     toks = _tokens("text", dialect)
     if dialect == "spark":
-        pos = f"posexplode({toks}) AS (pos, tok)"
-        shingle = ("SELECT doc_id, pos, tok FROM documents "
-                   f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
-    else:
-        shingle = ("SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
-                   "unnest(toks) AS tok FROM (SELECT doc_id, "
-                   f"{toks} AS toks FROM documents)")
+        return f"""
+  SELECT doc_id,
+         explode(CASE WHEN size(toks) >= {n}
+                 THEN transform(sequence(0, size(toks) - {n}),
+                                i -> concat_ws(' ', slice(toks, i + 1, {n})))
+                 ELSE array() END) AS shingle
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
     return f"""
-WITH postoks AS ({shingle}),
-sh AS (
-  SELECT a.doc_id, a.pos,
-         concat(a.tok, ' ', b.tok, ' ', c.tok, ' ', d.tok, ' ', e.tok) AS shingle
-  FROM postoks a
-  JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-  JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
-  JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
-)
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+             i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
+
+
+def _shingle_sql(dialect: str) -> str:
+    """5-word shingle fingerprints per doc (n-gram dedup primitive)."""
+    return f"""
+WITH sh AS ({_shingle_rel(dialect)})
 SELECT doc_id, count(DISTINCT shingle) AS n_shingles,
        min({_hash60('shingle', dialect)}) AS min_shingle_hash
 FROM sh GROUP BY doc_id ORDER BY doc_id
@@ -158,24 +163,9 @@ def _ngram_jaccard_sql(dialect: str, max_df: int = 100) -> str:
     only non-hot shared shingles; denominators use the full shingle
     sets. The cap is applied identically in both dialects so the oracle
     stays value-exact."""
-    toks = _tokens("text", dialect)
-    if dialect == "spark":
-        shingle = ("SELECT doc_id, pos, tok FROM documents "
-                   f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
-    else:
-        shingle = ("SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
-                   "unnest(toks) AS tok FROM (SELECT doc_id, "
-                   f"{toks} AS toks FROM documents)")
     return f"""
-WITH postoks AS ({shingle}),
-sh AS (
-  SELECT DISTINCT a.doc_id,
-         concat(a.tok, ' ', b.tok, ' ', c.tok, ' ', d.tok, ' ', e.tok) AS shingle
-  FROM postoks a
-  JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-  JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
-  JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect)})
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 cold AS (

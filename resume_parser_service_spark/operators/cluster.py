@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import register_views, _tokens
+from .catalog import register_views, _shingle_rel
 
 __all__ = ["cluster_queries", "cluster_oracles"]
 
@@ -39,24 +39,9 @@ def _edges_sql(dialect: str, max_df: int = 100) -> str:
     unchanged; pathological boilerplate cliques degrade to whatever
     connectivity their rarer shingles provide — the standard trade in
     web-scale dedup."""
-    toks = _tokens("text", dialect)
-    if dialect == "spark":
-        postoks = ("SELECT doc_id, pos, tok FROM documents "
-                   f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
-    else:
-        postoks = ("SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, "
-                   "unnest(toks) AS tok FROM (SELECT doc_id, "
-                   f"{toks} AS toks FROM documents)")
     return f"""
-WITH postoks AS ({postoks}),
-sh AS (
-  SELECT DISTINCT a.doc_id,
-         concat(a.tok, ' ', b.tok, ' ', c.tok, ' ', d.tok, ' ', e.tok) AS shingle
-  FROM postoks a
-  JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-  JOIN postoks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
-  JOIN postoks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect)})
 ),
 cold AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
