@@ -28,10 +28,17 @@ __all__ = ["run_extraction_job"]
 
 def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                        salt_partitions: int | None = None,
-                       salt_input: bool = False) -> dict:
+                       salt_input: bool = False,
+                       compact_after: int | None = None) -> dict:
     """Run (or resume) extraction of ``pages`` into tables under
     ``out_root``: ``resumes_extracted`` + ``extraction_audit``.
-    Re-running with the same input is a no-op (idempotent resume)."""
+    Re-running with the same input is a no-op (idempotent resume).
+
+    ``compact_after=N``: when the extracted table accumulates >= N live
+    delta snapshots, bin-pack-compact it and expire the replaced
+    snapshots after the commit — the small-file defense for an
+    incremental ingest loop (each resumed batch otherwise adds another
+    file set that every downstream scan pays for)."""
     extracted_tbl = SnapshotTable(os.path.join(out_root, "resumes_extracted"))
     audit_tbl = SnapshotTable(os.path.join(out_root, "extraction_audit"))
     run_id = uuid.uuid4().hex[:12]
@@ -64,7 +71,8 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
         n_rejected = rejected.count()
         if n_extracted == 0 and n_rejected == 0:
             return {"run_id": run_id, "extracted": 0, "rejected": 0,
-                    "snapshot_id": None, "resumed_noop": True}
+                    "snapshot_id": None, "compacted": None,
+                    "resumed_noop": True}
 
         snapshot_id = extracted_tbl.commit(
             extracted.filter(F.col("status") == "ok"))
@@ -89,9 +97,15 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
             F.current_timestamp().alias("committed_at"))
         audit_tbl.commit(audit.unionByName(rej_audit))
 
+        compacted = None
+        if (compact_after is not None and
+                len(extracted_tbl.live_snapshots()) >= compact_after):
+            compacted = extracted_tbl.compact(spark)
+            extracted_tbl.expire_snapshots()
+
         return {"run_id": run_id, "extracted": n_extracted,
                 "rejected": n_rejected, "snapshot_id": snapshot_id,
-                "resumed_noop": False}
+                "compacted": compacted, "resumed_noop": False}
     finally:
         extracted.unpersist()
         rejected.unpersist()

@@ -94,6 +94,31 @@ def test_manifest_stats_prune_point_lookup(spark, tmp_path):
     assert tbl.point_lookup(spark, "m").count() == 0
 
 
+def test_incremental_ingest_auto_compaction(spark, tmp_path):
+    """compact_after keeps an incremental ingest's extracted table at a
+    bounded snapshot count while resume semantics stay intact."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.run import run_extraction_job
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    out = str(tmp_path / "out")
+    pages = build_pages_df(spark, 30)
+    stats = None
+    for k in range(3):
+        batch = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == k)
+        stats = run_extraction_job(spark, batch, out, compact_after=3)
+    tbl = SnapshotTable(out + "/resumes_extracted")
+    assert stats["compacted"] is not None
+    assert len(tbl.live_snapshots()) == 1
+    # all three batches' rows survive the compaction
+    assert tbl.read_current(spark).count() >= 28
+    # and a re-run of the full corpus is still a no-op resume
+    again = run_extraction_job(spark, build_pages_df(spark, 30), out,
+                               compact_after=3)
+    assert again["resumed_noop"] is True
+
+
 def test_compact_binpacks_file_count(spark, tmp_path):
     """Many tiny delta snapshots collapse to a handful of files."""
     tbl = SnapshotTable(str(tmp_path / "t"))
