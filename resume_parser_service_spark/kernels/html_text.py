@@ -19,12 +19,27 @@ import re
 
 __all__ = ["extract_html", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "html-1.1.0"
+KERNEL_VERSION = "html-1.2.0"
 
 # Containers whose entire subtree is boilerplate.
 _BOILERPLATE = {"nav", "header", "footer", "aside", "form", "menu",
                 "script", "style", "noscript", "svg", "template", "head",
                 "button", "select", "option", "iframe"}
+
+# class/id tokens that mark a generic container (div/section/ul/table)
+# as chrome — real pages predate/ignore semantic tags and ship
+# <div class="nav"> instead of <nav> (readability/trafilatura's
+# unlikelyCandidates heuristic).
+_BOILER_HINT_RE = re.compile(
+    r"""(?:class|id)\s*=\s*["']?[^"'>]*\b(?:nav(?:igation|bar)?|menu|
+    footer|header|sidebar|side-bar|breadcrumb|banner|masthead|comment|
+    share|social|advert(?:isement)?|sponsor|promo|cookie|popup|paywall|
+    related|widget)\b""",
+    re.I | re.X)
+
+# generic BLOCK containers the class-hint applies to (hinted inline
+# tags like <span> stay text — dropping them would split blocks)
+_HINTABLE = {"div", "section", "ul", "ol", "table"}
 
 # Tags that terminate the current text block.
 _BLOCK_TAGS = {"p", "div", "article", "section", "main", "body", "html",
@@ -117,6 +132,8 @@ def extract_html(data: bytes) -> dict:
     links: list[str] = []
     boiler_depth = 0
     anchor_depth = 0
+    tag_depth: dict[str, int] = {}   # open count per hintable tag
+    hint_stack: list[tuple] = []     # (tag, depth-at-open) of hinted opens
     cur = _Block(0)
     pos = 0
     n = len(html)
@@ -176,6 +193,26 @@ def extract_html(data: bytes) -> dict:
             else:
                 boiler_depth += 1
             cur = _Block(boiler_depth)
+        elif tag in _HINTABLE and not self_closing:
+            # generic containers become boilerplate when their class/id
+            # says chrome (<div class="navbar">); the matching close is
+            # found by same-tag nesting depth, so unhinted inner divs
+            # don't end the poisoned subtree early
+            if not closing:
+                tag_depth[tag] = tag_depth.get(tag, 0) + 1
+                if _BOILER_HINT_RE.search(attrs):
+                    flush()
+                    hint_stack.append((tag, tag_depth[tag]))
+                    boiler_depth += 1
+                    cur = _Block(boiler_depth)
+            else:
+                d = tag_depth.get(tag, 0)
+                if hint_stack and hint_stack[-1] == (tag, d):
+                    hint_stack.pop()
+                    boiler_depth = max(0, boiler_depth - 1)
+                    flush()
+                    cur = _Block(boiler_depth)
+                tag_depth[tag] = max(0, d - 1)
     flush()
 
     kept: list[str] = []

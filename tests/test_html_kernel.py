@@ -95,3 +95,38 @@ def test_charset_latin1_fallback_without_meta():
     body = "r\xe9sum\xe9 text that is long enough".encode("latin-1")
     html = b"<html><body><article><p>" + body + b"</p></article></body></html>"
     assert extract_html(html)["text"] == "r\xe9sum\xe9 text that is long enough"
+
+
+def test_class_hint_boilerplate_div():
+    """<div class="navbar"> subtrees are chrome even without semantic
+    tags (readability's unlikelyCandidates heuristic) — the dominant
+    layout in pre-HTML5 crawl pages."""
+    html = (b"<html><body>"
+            b'<div class="navbar"><ul><li>home sweet home</li>'
+            b"<li>products and services</li></ul></div>"
+            b"<div><p>the real article body text lives here</p>"
+            b'<div id="related-posts"><p>you may also like this one</p>'
+            b"</div><p>and continues after the widget block</p></div>"
+            b'<div class="footer-links"><p>tos and privacy and contact'
+            b"</p></div></body></html>")
+    res = extract_html(html)
+    assert res["text"] == ("the real article body text lives here\n"
+                           "and continues after the widget block")
+
+
+def test_class_hint_nested_same_tag_close():
+    """An unhinted inner div must not end the poisoned subtree early."""
+    html = (b"<html><body>"
+            b'<div class="sidebar"><div><p>inner sidebar junk text</p>'
+            b"</div><p>more sidebar junk after inner div</p></div>"
+            b"<p>kept main content paragraph</p></body></html>")
+    assert extract_html(html)["text"] == "kept main content paragraph"
+
+
+def test_hinted_paragraph_stays_text():
+    """The hint only poisons structural containers; a <p class=comment>
+    is kept (inline/leaf false-positive guard)."""
+    html = (b"<html><body><p class='comment-style'>a paragraph long "
+            b"enough to keep</p></body></html>")
+    assert extract_html(html)["text"] == ("a paragraph long enough "
+                                          "to keep")
