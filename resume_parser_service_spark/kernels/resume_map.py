@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.2.0"
+KERNEL_VERSION = "map-1.3.0"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -99,6 +99,10 @@ _PERIOD_RE = re.compile(
 _PERIOD_INLINE_RE = re.compile(
     rf"({_DATE_TOK})\s*(?:[-–—]|to)\s*({_DATE_TOK}|Present|present|Ongoing)")
 _BULLET_RE = re.compile(r"^[●•▪‣]\s*")
+# leading CEFR/fluency token of a proficiency value
+_LEVEL_RE = re.compile(
+    r"^(?:A1|A2|B1|B2|C1|C2|Native|Fluent|Basic|Beginner|Intermediate|"
+    r"Advanced|Professional|Conversational|Mother\s?tongue)\b", re.I)
 _LOCATION_RE = re.compile(r"^([A-Z][A-Za-z .'-]+),\s*([A-Z][A-Za-z .'-]+)$")
 
 
@@ -177,6 +181,23 @@ _PHONE_INLINE_RE = re.compile(
 # mid-word ("...@gmail.c and optimize"); prefer the strict match
 _EMAIL_LENIENT_RE = re.compile(
     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\.[A-Za-z]+")
+
+
+def _rejoin_wrapped_tld(body: str, m: "re.Match") -> str:
+    """Narrow-column layouts wrap an email's TLD onto the next line
+    ("…@gmail.co" / "m", or mid-line "…@gmail.c and …" / "om"). When
+    the first non-empty line after the matched line is a 1-3 char
+    lowercase fragment that completes a plausible TLD, append it."""
+    email = m.group(0)
+    nl = body.find("\n", m.end())
+    if nl < 0:
+        return email
+    nxt = body[nl + 1:nl + 8].split("\n", 1)[0].strip()
+    tld = email.rsplit(".", 1)[-1]
+    if (re.fullmatch(r"[a-z]{1,3}", nxt) and (tld + nxt).isalpha()
+            and len(tld + nxt) <= 6 and tld.islower()):
+        return email + nxt
+    return email
 
 
 def _name_tokens(line: str) -> list[str]:
@@ -269,7 +290,7 @@ def _personal(lines: list[str], links: list[str],
                 pi["zip_code"] = zm.group(1)
     m = _EMAIL_RE.search(body) or _EMAIL_LENIENT_RE.search(body)
     if m:
-        pi["email"] = m.group(0)
+        pi["email"] = _rejoin_wrapped_tld(body, m)
     pi["phone_prefix"], pi["phone"] = _find_phone(body)
     dm = re.search(r"(?:Date of [Bb]irth|DOB)\s*[:/]?\s*"
                    r"([0-9][0-9/.-]{5,9})", body)
@@ -280,6 +301,14 @@ def _personal(lines: list[str], links: list[str],
             pi["github"] = url
         elif "linkedin.com" in url and pi["linkedin"] is None:
             pi["linkedin"] = url
+    if pi["linkedin"] is None:
+        # narrow sidebars wrap profile URLs mid-path ("linkedin.com/" /
+        # "christopher.morgan"): join a path-less match with a
+        # single-token following line
+        wm = re.search(r"(?:www\.)?linkedin\.com/\s*\n([A-Za-z0-9._-]"
+                       r"{2,40})\s*$", body, re.M)
+        if wm:
+            pi["linkedin"] = "linkedin.com/" + wm.group(1)
     if all(v is None for v in pi.values()):
         return None
     return pi
@@ -532,13 +561,25 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
         elif kind == "languages":
             for g in _groups(lines):
                 for ln in g:
-                    m = (re.match(r"^(.+?)\s*[:—-]\s*(.+)$", ln)
+                    m = (re.match(r"^(.+?)\s*[:—–-]\s*(.+)$", ln)
                          or re.match(r"^(.+?)\s*\((.+)\)$", ln))
                     if m:
-                        languages.append({"language": m.group(1).strip(),
-                                          "proficiency": m.group(2).strip()})
-                    else:
-                        languages.append({"language": ln, "proficiency": None})
+                        lang, prof = m.group(1).strip(), m.group(2).strip()
+                        # two-column interleave glues body prose onto the
+                        # proficiency ("C2 2014", "A1 Columbia University,
+                        # NY") — trim to the leading level token; keep an
+                        # entry only when it is language-shaped (level
+                        # token, or a clean single-word language name)
+                        lm = _LEVEL_RE.match(prof)
+                        if lm:
+                            prof = lm.group(0)
+                        if lm or (len(lang.split()) == 1
+                                  and not re.search(r"[\d()]", lang)):
+                            languages.append({"language": lang,
+                                              "proficiency": prof})
+                    elif re.fullmatch(r"[A-Z][a-z]{2,14}", ln):
+                        languages.append({"language": ln,
+                                          "proficiency": None})
         elif kind == "interests":
             for g in _groups(lines):
                 for ln in g:

@@ -229,13 +229,35 @@ def test_reference_golden_field_recall():
     assert ours["phone_prefix"] == ref["phone_prefix"]
 
     # resume2: name/surname match; phone digits match modulo the (0)
-    # trunk notation; email is truncated by the two-column layout in
-    # the extracted text itself — prefix-match only
+    # trunk notation; the line-wrapped email ("…gmail.c" / "om") is
+    # re-joined by the mapper's wrapped-TLD heuristic (r2 session 2)
     ours, ref = got["resume2.pdf"]
     assert ours["name"] == ref["name"]
     assert ours["surname"] == ref["surname"]
     assert digits(ours["phone"]) == digits(ref["phone"])
-    assert ref["email"].startswith(ours["email"][:20])
+    assert ours["email"] == ref["email"]
+
+
+def test_reference_golden_language_recall():
+    """languages match the reference's own goldens exactly on the
+    fixtures whose language sections survive layout linearization
+    (resume2's is interleaved two-column — the junk filters must still
+    recover the clean CEFR triplet)."""
+    import os
+
+    import pytest
+
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+
+    if not os.path.exists("/root/reference/cv_output/both_resume2.json"):
+        pytest.skip("reference goldens not present")
+    for pdf, golden in [("resume2.pdf", "both_resume2.json"),
+                        ("FedericoElia.pdf", "resume.json")]:
+        r = extract_pdf(open(f"/root/reference/{pdf}", "rb").read())
+        ours = map_resume(r["text"], r["links"])["languages"]
+        ref = json.load(
+            open(f"/root/reference/cv_output/{golden}"))["languages"]
+        assert ours == ref, pdf
 
 
 def test_personal_info_nonnull_coverage():
