@@ -15,6 +15,8 @@ Subcommands via flags:
   --partitions N   salt/shuffle partition count (default: 2x cores)
   --synthesize N   instead of --input, generate an N-doc synthetic corpus
   --stream         treat --input as a streaming file source (availableNow)
+  --compact-after N  bin-pack-compact + expire the extracted table when
+                     it reaches N live snapshots (incremental ingest)
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--synthesize", type=int, default=None)
     p.add_argument("--stream", action="store_true")
+    p.add_argument("--compact-after", type=int, default=None)
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -59,7 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     from .pipeline.run import run_extraction_job
     stats = run_extraction_job(spark, pages, args.output,
                                salt_partitions=args.partitions,
-                               salt_input=args.salt_input)
+                               salt_input=args.salt_input,
+                               compact_after=args.compact_after)
     print(json.dumps(stats))
     return 0
 
