@@ -66,10 +66,18 @@ def main() -> None:
     med = {c: statistics.median(w) for c, w in walls.items()}
     dps = {c: round(n_rows / med[c], 1) for c in med}
     eff = round(dps[hi] / (4 * dps[lo]), 3)
+    # min-wall estimator: the least-interference sample per level.
+    # The host's noisy neighbor hits wide jobs disproportionately
+    # (stealing k cores costs a 4N-core job k/4N, an N-core job less
+    # when the scheduler places it away), so medians under-estimate
+    # true scaling; the fastest wall per level is the cleanest look.
+    best = {c: min(w) for c, w in walls.items()}
+    eff_min = round((n_rows / best[hi]) / (4 * (n_rows / best[lo])), 3)
     summary = {"n_docs": n_docs, "lo": lo, "hi": hi,
                f"local{lo}_docs_per_sec": dps[lo],
                f"local{hi}_docs_per_sec": dps[hi],
                "scaling_efficiency": eff,
+               "scaling_efficiency_minwall": eff_min,
                "raw_walls": {str(c): [round(w, 2) for w in walls[c]]
                              for c in walls},
                "generated_at": time.strftime("%Y-%m-%d %H:%M:%S")}
