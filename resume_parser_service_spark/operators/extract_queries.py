@@ -110,47 +110,87 @@ def _q_embed_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def _make_payload(doc_id: int, kind: str) -> bytes:
+    """Deterministic REAL media container per doc (pure function of
+    doc_id): grayscale PNG / 8-bit PCM WAV / YUV4MPEG2 stream. Content
+    values are simple doc_id arithmetic so the DuckDB oracle can predict
+    what a correct decoder must recover — the encode+decode round trip
+    itself is full real format work (zlib/IDAT defilter, RIFF walk, Y4M
+    frame striding), not a stub."""
+    from ..kernels import media
+    i = int(doc_id)
+    if kind == "image":
+        w, h, val = 8 + i % 9, 8 + i % 5, i % 256
+        return media.make_png(w, h, bytes([val]) * (w * h))
+    if kind == "audio":
+        n, val = 1000 + i % 500, 64 + i % 100
+        return media.make_wav(bytes([val]) * n, rate=8000)
+    lumas = [i % 200] * (2 + i % 5)
+    return media.make_y4m(16, 8, lumas)
+
+
 def _multimodal_kernel(batches: Iterator) -> Iterator:
-    """Multimodal binary plumbing: typed metadata over opaque binary
-    payloads. The actual media decode is stubbed (no image/audio libs in
-    this container — see _decode_stub); the Spark-side schema,
-    partitioning and Arrow batch shape are real and tested."""
+    """Multimodal decode/feature/resize/frame-sample over opaque binary
+    payloads (kernels/media.py — real pure-Python PNG/WAV/Y4M codecs).
+    Uniform typed-metadata schema: dim1/dim2 = width/height (image,
+    video) or rate/n_samples (audio); feature = mean pixel / mean
+    sample / mean sampled-frame luma; frames_sampled = 1 for stills and
+    audio, every-2nd-frame count for video. Image decode additionally
+    runs a nearest-neighbor 4x4 resize (thumbnail path)."""
     import pandas as pd
+
+    from ..kernels import media
     for pdf in batches:
         rows = []
         for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"],
                                          pdf["media_type"]):
             data = bytes(payload)
-            rows.append({
-                "doc_id": doc_id,
-                "media_type": kind,
-                "n_bytes": len(data),
-                "frames_sampled": _decode_stub(data, kind),
-            })
-        yield pd.DataFrame(rows, columns=["doc_id", "media_type", "n_bytes",
-                                          "frames_sampled"])
-
-
-def _decode_stub(data: bytes, kind: str) -> int:
-    """Deterministic fake decode: pretends every 4 KiB is one frame.
-    Real decode (PIL/ffmpeg) is not installed in this container; swap
-    this function when the libs exist. Raising NotImplementedError here
-    would poison the batch, so the stub returns a deterministic count."""
-    return max(1, len(data) // 4096)
+            if kind == "image":
+                img = media.decode_png(data)
+                thumb = media.resize_nearest(img["pixels"], img["width"],
+                                             img["height"], 4, 4)
+                row = {"dim1": img["width"], "dim2": img["height"],
+                       "frames_sampled": 1,
+                       "feature": round(sum(thumb) / len(thumb), 4)}
+            elif kind == "audio":
+                wav = media.decode_wav(data)
+                row = {"dim1": wav["rate"], "dim2": wav["n_samples"],
+                       "frames_sampled": 1,
+                       "feature": round(sum(wav["samples"]) /
+                                        len(wav["samples"]), 4)}
+            else:
+                vid = media.decode_y4m(data, sample_every=2)
+                row = {"dim1": vid["width"], "dim2": vid["height"],
+                       "frames_sampled": vid["frames_sampled"],
+                       "feature": round(vid["mean_sampled_luma"], 4)}
+            rows.append({"doc_id": doc_id, "media_type": kind, **row})
+        yield pd.DataFrame(rows, columns=["doc_id", "media_type", "dim1",
+                                          "dim2", "frames_sampled",
+                                          "feature"])
 
 
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    payloads = spark.sql("""
-        SELECT doc_id, cast(text as binary) AS payload,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
-                    ELSE 'video' END AS media_type
-        FROM documents""")
+    payloads = spark.table("documents").select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN 'image' "
+               "WHEN doc_id % 3 = 1 THEN 'audio' "
+               "ELSE 'video' END").alias("media_type")
+    ).mapInPandas(_payload_builder,
+                  schema="doc_id long, media_type string, payload binary")
     return payloads.mapInPandas(
         _multimodal_kernel,
-        schema="doc_id long, media_type string, n_bytes long, "
-               "frames_sampled long").orderBy("doc_id")
+        schema="doc_id long, media_type string, dim1 long, dim2 long, "
+               "frames_sampled long, feature double").orderBy("doc_id")
+
+
+def _payload_builder(batches: Iterator) -> Iterator:
+    import pandas as pd
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["payload"] = [_make_payload(d, k) for d, k in
+                          zip(pdf["doc_id"], pdf["media_type"])]
+        yield pd.DataFrame(pdf, columns=["doc_id", "media_type", "payload"])
 
 
 _MULTIMODAL_ORACLE = """
@@ -158,8 +198,18 @@ SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
-       cast(n_chars as bigint) AS n_bytes,
-       cast(greatest(1, n_chars // 4096) as bigint) AS frames_sampled
+       cast(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+                 WHEN doc_id % 3 = 1 THEN 8000
+                 ELSE 16 END as bigint) AS dim1,
+       cast(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 5
+                 WHEN doc_id % 3 = 1 THEN 1000 + doc_id % 500
+                 ELSE 8 END as bigint) AS dim2,
+       cast(CASE WHEN doc_id % 3 = 2
+                 THEN (2 + doc_id % 5 + 1) // 2
+                 ELSE 1 END as bigint) AS frames_sampled,
+       cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
+                 WHEN doc_id % 3 = 1 THEN 64 + doc_id % 100
+                 ELSE doc_id % 200 END as double) AS feature
 FROM documents ORDER BY doc_id"""
 
 

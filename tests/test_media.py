@@ -1,0 +1,109 @@
+"""Pure-Python multimodal codecs (kernels/media.py): byte-level format
+conformance + decode round-trips for PNG (RFC 2083), WAV (RIFF), and
+Y4M (YUV4MPEG2) — the real replacement for the r01 decode stub."""
+
+import struct
+import zlib
+
+import pytest
+
+from resume_parser_service_spark.kernels.media import (decode_png,
+                                                       decode_wav,
+                                                       decode_y4m, make_png,
+                                                       make_wav, make_y4m,
+                                                       resize_nearest)
+
+
+def test_png_roundtrip_gradient():
+    w, h = 16, 9
+    pixels = bytes((x * 17 + y * 3) % 256 for y in range(h)
+                   for x in range(w))
+    data = make_png(w, h, pixels)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    img = decode_png(data)
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == pixels
+
+
+def test_png_defilters_all_filter_types():
+    """A spec-conformant decoder must handle Sub/Up/Average/Paeth rows,
+    not just filter 0 — hand-build one IDAT with each."""
+    w = 4
+    rows = [
+        (0, bytes([10, 20, 30, 40])),          # None
+        (1, bytes([5, 5, 5, 5])),              # Sub: 5,10,15,20
+        (2, bytes([1, 1, 1, 1])),              # Up: 6,11,16,21
+        (3, bytes([0, 0, 0, 0])),              # Average
+        (4, bytes([0, 0, 0, 0])),              # Paeth
+    ]
+    raw = b"".join(bytes([f]) + r for f, r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, len(rows), 8, 0, 0, 0, 0)
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body +
+                struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    img = decode_png(data)
+    px = img["pixels"]
+    assert px[0:4] == bytes([10, 20, 30, 40])
+    assert px[4:8] == bytes([5, 10, 15, 20])
+    assert px[8:12] == bytes([6, 11, 16, 21])
+    # Average row: left/2 + up/2 arithmetic
+    assert px[12] == 6 // 2 and px[13] == (px[12] + 11) // 2
+    # Paeth row over the Average row: predictor picks nearest of a/b/c
+    assert len(px) == 20
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+
+
+def test_resize_nearest():
+    pixels = bytes([0, 255, 128, 64])  # 2x2
+    out = resize_nearest(pixels, 2, 2, 4, 4)
+    assert len(out) == 16
+    assert out[0] == 0 and out[3] == 255 and out[15] == 64
+
+
+def test_wav_roundtrip():
+    samples = bytes(range(200)) * 5
+    data = make_wav(samples, rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    wav = decode_wav(data)
+    assert wav["rate"] == 8000
+    assert wav["n_samples"] == 1000
+    assert wav["duration_ms"] == 125
+    assert wav["samples"] == samples
+
+
+def test_y4m_frame_sampling():
+    data = make_y4m(16, 8, [100, 150, 200, 250, 50])
+    assert data.startswith(b"YUV4MPEG2 W16 H8 ")
+    vid = decode_y4m(data, sample_every=2)
+    assert (vid["width"], vid["height"]) == (16, 8)
+    assert vid["n_frames"] == 5
+    assert vid["frames_sampled"] == 3          # frames 0, 2, 4
+    assert vid["mean_sampled_luma"] == (100 + 200 + 50) / 3
+
+
+def test_multimodal_query_oracle_parity(spark):
+    """Driver-style check of the full encode->decode query vs its
+    arithmetic oracle at sf0.001."""
+    import duckdb
+
+    from resume_parser_service_spark.operators.extract_queries import (
+        _MULTIMODAL_ORACLE, _q_multimodal_metadata)
+
+    sdf = _q_multimodal_metadata(
+        spark, "/root/testdata/sf0.001").toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    odf = con.execute(_MULTIMODAL_ORACLE).df()
+    assert len(sdf) == len(odf)
+    for col in ["media_type", "dim1", "dim2", "frames_sampled", "feature"]:
+        assert list(sdf[col]) == pytest.approx(list(odf[col])) \
+            if col == "feature" else list(sdf[col]) == list(odf[col]), col
