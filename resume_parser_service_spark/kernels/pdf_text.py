@@ -1211,6 +1211,22 @@ def _run_content(doc: _Document, content: bytes, res: dict,
                             runs[-1] = (x, y, fs, t + " ", w + gap)
                 stack.clear()
                 continue
+            elif op == b"BI":
+                # inline image (spec 8.9.7): raw binary follows ID until
+                # a whitespace-delimited EI — skip it wholesale, or the
+                # tokenizer would misread image bytes as tokens ("(",
+                # "Tj", ...) and corrupt the operand stack
+                idp = content.find(b"ID", pos)
+                if idp < 0:
+                    break
+                dstart = idp + 2
+                if dstart < n and content[dstart:dstart + 1] in \
+                        (b" ", b"\r", b"\n", b"\t"):
+                    dstart += 1
+                ei = re.search(
+                    rb"[\0\t\n\f\r ]EI(?=[\0\t\n\f\r /\[\]<>(%]|$)",
+                    content[dstart:])
+                pos = n if ei is None else dstart + ei.end()
             elif op == b"q":
                 gs_stack.append(ctm)
             elif op == b"Q":

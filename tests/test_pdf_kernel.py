@@ -181,6 +181,38 @@ def test_runlength_decoder_spec_cases():
     assert _runlength_decode(_runlength_encode(blob)) == blob
 
 
+def test_inline_image_skipped():
+    """BI/ID/EI inline-image binary (spec 8.9.7) must be skipped, not
+    tokenized — the payload here contains "(", "Tj" and "ET" bytes that
+    would corrupt the operand stack if read as tokens."""
+    import zlib as _z
+    pdf = bytearray(make_pdf(["before image", "x"], compress=False))
+    # splice an inline image between the two text ops of page 1
+    marker = b"(before image) Tj"
+    hostile = b"\x28\x54\x6a \x45\x54\x00\xff\xfe(ET Tj q Q"
+    inline = (b"\nBI /W 4 /H 2 /CS /G /BPC 8 ID " + hostile +
+              b" EI\nBT /F1 11 Tf 72 700 Td (after image) Tj ET")
+    idx = bytes(pdf).find(marker)
+    assert idx > 0
+    data = bytes(pdf)
+    # fix the /Length of the stream that holds the marker (the header
+    # match closest before the marker)
+    sm = [m for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", data)
+          if m.start() < idx][-1]
+    old_hdr = sm.group(0)
+    new_hdr = (b"<< /Length %d >>\nstream\n"
+               % (int(sm.group(1)) + len(inline)))
+    patched = (data[:sm.start()] + new_hdr +
+               data[sm.end():]).replace(marker, marker + inline, 1)
+    res = extract_pdf(patched)
+    assert "before image" in res["text"]
+    assert "after image" in res["text"]
+    assert "\xff" not in res["text"]
+
+
+import re  # noqa: E402  (used by the inline-image splice test)
+
+
 def test_corrupt_xref_offsets_recovered_by_object_scan():
     """Crawled PDFs frequently carry stale xref offsets (bytes were
     inserted/removed by rewriting proxies). The parser rebuilds the
