@@ -119,6 +119,24 @@ def test_incremental_ingest_auto_compaction(spark, tmp_path):
     assert again["resumed_noop"] is True
 
 
+def test_compact_preserves_bucketed_layout(spark, tmp_path):
+    """Compaction of a hash-bucketed table rewrites INTO the bucketed
+    layout, so point lookups keep their 1/buckets pruning."""
+    import os as _os
+
+    tbl = SnapshotTable(str(tmp_path / "t"), buckets=4)
+    tbl.commit(_df(spark, [(f"u{i}", "a", [1.0]) for i in range(20)]))
+    tbl.commit(_df(spark, [(f"u{i}", "b", [1.0]) for i in range(10)]))
+    res = tbl.compact(spark)
+    assert res["compacted"] == 2
+    snap = tbl.live_snapshots()[0]
+    snap_dir = _os.path.join(tbl.root, snap["path"])
+    assert any(d.startswith("_bucket=") for d in _os.listdir(snap_dir))
+    row = tbl.point_lookup(spark, "u3").collect()
+    assert len(row) == 1 and row[0]["text"] == "b"
+    assert tbl.read_current(spark).count() == 20
+
+
 def test_compact_binpacks_file_count(spark, tmp_path):
     """Many tiny delta snapshots collapse to a handful of files."""
     tbl = SnapshotTable(str(tmp_path / "t"))
