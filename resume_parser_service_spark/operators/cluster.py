@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from .catalog import register_views, _shingle_rel
 
-__all__ = ["cluster_queries", "cluster_oracles"]
+__all__ = ["cluster_queries", "cluster_oracles",
+           "connected_components_lsss"]
 
 
 def _edges_sql(dialect: str, max_df: int = 100) -> str:
@@ -128,6 +129,86 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
         return labels.orderBy("doc_id")
     finally:
         sym.unpersist()
+
+
+def connected_components_lsss(spark: SparkSession, edges: DataFrame,
+                              nodes: DataFrame,
+                              max_rounds: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    adversarial-shape path: converges in O(log n) rounds regardless of
+    component DIAMETER, where plain label propagation
+    (_q_dedup_clusters) needs O(diameter) rounds (a 10^6-doc chain =
+    10^6 shuffles). Returns (doc_id, cluster_id = component min).
+
+    Maintains a parent forest as an edge list (child, parent):
+      large-star: for each node u, hang every neighbor v > u off
+        m = min(N(u) ∪ {u});
+      small-star: hang every neighbor v <= u (and u) off m.
+    Both stars strictly shrink the potential function; fixpoint =
+    edge multiset stable (checked via a cheap order-free checksum).
+    """
+    _ensure_checkpoint_dir(spark)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (edges.selectExpr("src AS a", "dst AS b")
+         .filter("a != b").distinct())
+
+    def large_star(frame: DataFrame) -> DataFrame:
+        """Hang every larger neighbor of u off min(Γ(u) ∪ {u})."""
+        sym = frame.unionByName(
+            frame.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (sym.groupBy("a")
+                .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        return (sym.filter("b > a").join(mins, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter("a != b").distinct())
+
+    def small_star(frame: DataFrame) -> DataFrame:
+        """Orient each edge toward its larger endpoint; hang that
+        endpoint and all its smaller neighbors off their min."""
+        oriented = frame.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        children = (oriented.join(mins, "a")
+                    .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        selfs = mins.select(F.col("a"), F.col("m").alias("b"))
+        return (children.unionByName(selfs)
+                .filter("a != b").distinct().repartition(n_part, "a"))
+
+    def checksum(frame: DataFrame) -> int:
+        return int(frame.agg(F.sum(F.xxhash64("a", "b")
+                                   .cast("decimal(38,0)"))
+                             ).collect()[0][0] or 0)
+
+    prev = None
+    # Each star references the previous round's frame ~4x (symmetrize,
+    # mins, join), so the LOGICAL plan grows ~4^rounds — persist alone
+    # leaves the analyzer re-walking an exponentially deep tree (it
+    # visibly hangs around round 8). An EAGER per-round localCheckpoint
+    # truncates plan + lineage; on a real cluster swap for reliable
+    # checkpoint() to also survive executor loss.
+    e = e.localCheckpoint(eager=True)
+    for rnd in range(1, max_rounds + 1):
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        cs = checksum(nxt)
+        e.unpersist()
+        e = nxt
+        if cs == prev:
+            break
+        prev = cs
+    else:
+        raise RuntimeError("large-star/small-star did not converge "
+                           f"in {max_rounds} rounds")
+    # fixpoint = stars rooted at component minima: (child, root) edges;
+    # roots and isolated docs label themselves
+    child_labels = (e.groupBy(F.col("a").alias("doc_id"))
+                    .agg(F.min("b").alias("cluster_id")))
+    labels = (nodes.selectExpr("doc_id")
+              .join(child_labels, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("cluster_id", "doc_id")
+                      .alias("cluster_id")))
+    return labels.orderBy("doc_id")
 
 
 _CLUSTER_ORACLE = f"""

@@ -70,3 +70,52 @@ def test_hot_shingle_df_cap_bounds_edges(spark, tmp_path):
     edges = spark.sql(cl._edges_sql("spark", max_df=5))
     assert edges.count() == 0  # hot shingle (df=12 > 5) contributes none
     _REGISTERED.pop(id(spark), None)
+
+
+def test_lsss_long_chain_converges_in_log_rounds(spark):
+    """A 300-node path graph: label propagation would need ~300 rounds
+    (over MAX_ROUNDS); large-star/small-star finishes in O(log n)."""
+    from resume_parser_service_spark.operators.cluster import (
+        connected_components_lsss)
+
+    n = 300
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    labels = connected_components_lsss(spark, edges, nodes, max_rounds=12)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_lsss_multi_component_and_isolated(spark):
+    from resume_parser_service_spark.operators.cluster import (
+        connected_components_lsss)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21)],
+        "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_lsss(spark, edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 99: 99}
+
+
+def test_lsss_agrees_with_label_propagation(spark):
+    """Both CC implementations produce identical labels on the real
+    shared-shingle graph at sf0.001."""
+    from resume_parser_service_spark.operators.cluster import (
+        _edges_sql, _q_dedup_clusters, connected_components_lsss)
+    from resume_parser_service_spark.operators.catalog import register_views
+
+    sf = "/root/testdata/sf0.001"
+    lp = {r["doc_id"]: r["cluster_id"]
+          for r in _q_dedup_clusters(spark, sf, strict=True).collect()}
+    register_views(spark, sf)
+    edges = spark.sql(_edges_sql("spark"))
+    nodes = spark.table("documents").select("doc_id")
+    ls = {r["doc_id"]: r["cluster_id"]
+          for r in connected_components_lsss(spark, edges, nodes).collect()}
+    assert lp == ls
