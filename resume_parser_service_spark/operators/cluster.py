@@ -122,10 +122,14 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
             prev_sum = new_sum
         if not converged:
             msg = (f"dedup_clusters: label propagation did not converge "
-                   f"in {MAX_ROUNDS} rounds; labels may be partial")
+                   f"in {MAX_ROUNDS} rounds (component diameter > rounds)")
             if strict:
                 raise RuntimeError(msg)
-            log.error(msg)
+            # never return partial labels: fall back to large-star/
+            # small-star, which converges in O(log n) rounds regardless
+            # of diameter
+            log.error("%s; falling back to large-star/small-star", msg)
+            return connected_components_lsss(spark, edges, docs)
         return labels.orderBy("doc_id")
     finally:
         sym.unpersist()

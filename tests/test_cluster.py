@@ -119,3 +119,18 @@ def test_lsss_agrees_with_label_propagation(spark):
     ls = {r["doc_id"]: r["cluster_id"]
           for r in connected_components_lsss(spark, edges, nodes).collect()}
     assert lp == ls
+
+
+def test_label_prop_fallback_to_lsss(spark, monkeypatch):
+    """With the round cap forced below the graph diameter, the query
+    falls back to large-star/small-star instead of returning partial
+    labels — final labels identical to a fully-converged run."""
+    import resume_parser_service_spark.operators.cluster as C
+
+    sf = "/root/testdata/sf0.001"
+    want = {r["doc_id"]: r["cluster_id"]
+            for r in C._q_dedup_clusters(spark, sf, strict=True).collect()}
+    monkeypatch.setattr(C, "MAX_ROUNDS", 1)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in C._q_dedup_clusters(spark, sf).collect()}
+    assert got == want
