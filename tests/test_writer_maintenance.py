@@ -119,6 +119,25 @@ def test_incremental_ingest_auto_compaction(spark, tmp_path):
     assert again["resumed_noop"] is True
 
 
+def test_crashed_commit_leaves_no_visible_snapshot(spark, tmp_path):
+    """Write-then-atomic-manifest: a crash AFTER the data lands but
+    BEFORE the manifest appears must leave readers untouched and not
+    perturb the next snapshot id (the snapshot-isolation claim)."""
+    import os as _os
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [("u1", "v1", [1.0])]))
+    # simulate the crash: orphan data directory, no manifest
+    orphan = _os.path.join(tbl.root, "data", "snap-000002-deadbeef")
+    _df(spark, [("ghost", "boo", [0.0])]).write.parquet(orphan)
+    assert tbl.read_current(spark).count() == 1
+    assert [r["url"] for r in tbl.read_current(spark).collect()] == ["u1"]
+    # next commit takes id 2 (manifest chain, not dir listing, decides)
+    snap = tbl.commit(_df(spark, [("u2", "v2", [2.0])]))
+    assert snap == 2
+    assert tbl.read_current(spark).count() == 2
+
+
 def test_compact_preserves_bucketed_layout(spark, tmp_path):
     """Compaction of a hash-bucketed table rewrites INTO the bucketed
     layout, so point lookups keep their 1/buckets pruning."""
