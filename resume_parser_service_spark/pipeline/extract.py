@@ -34,14 +34,15 @@ from __future__ import annotations
 import time
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernels import embed, html_text, pdf_text, resume_map
 from ..schema import EXTRACT_SCHEMA, MAX_FILE_SIZE, canonical_resume_json
 
 __all__ = ["dedup_latest", "validate_pages", "extract_pages",
-           "validate_extracted", "PIPELINE_KERNEL_VERSION"]
+           "validate_extracted", "enrich_extracted",
+           "PIPELINE_KERNEL_VERSION"]
 
 PIPELINE_KERNEL_VERSION = "+".join([pdf_text.KERNEL_VERSION,
                                     html_text.KERNEL_VERSION,
@@ -198,3 +199,59 @@ def extract_pages(pages: DataFrame, salt_partitions: int | None = None,
     if dedup:
         extracted = dedup_latest(extracted)
     return extracted, rejected
+
+
+def enrich_extracted(extracted: DataFrame) -> DataFrame:
+    """Training-data annotations over extracted rows — pure JVM-side
+    expressions (one window shuffle for content-dup marking, everything
+    else map-side), mirroring the formulas of the catalog queries
+    `token_count` / `quality_score` / `lang_id_heuristic` /
+    `dedup_exact` so the standalone queries double as oracles:
+
+    - ``fingerprint``: md5 of extracted text (exact-dedup key)
+    - ``content_dup_of``: canonical url (min url per fingerprint) when
+      this row is a content duplicate, else NULL — latest-wins URL
+      dedup catches refetches of the SAME url; this catches the same
+      CONTENT republished under many urls (mirrors, CDNs)
+    - ``ws_tokens`` / ``bpe_est_tokens``: whitespace + ~4-chars/token
+    - ``stopword_ratio`` / ``punct_ratio`` / ``mean_token_len``
+    - ``lang_guess``: stopword-vote language id
+    """
+    toks = F.split(F.col("text"), " ")
+
+    def hits(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    en, it = hits(["the", "and", "of", "is", "that"]), \
+        hits(["il", "di", "che", "la", "non"])
+    de, es = hits(["der", "und", "die", "ist", "das"]), \
+        hits(["el", "de", "la", "que", "es"])
+    best = F.greatest(en, it, de, es)
+    out = (extracted
+           .withColumn("fingerprint", F.md5(F.col("text")))
+           .withColumn("ws_tokens", F.size(toks))
+           .withColumn("bpe_est_tokens",
+                       F.ceil(F.length(F.replace(F.col("text"), F.lit(" "),
+                                                 F.lit(""))) / 4.0)
+                       .cast("bigint"))
+           .withColumn("stopword_ratio",
+                       F.round(hits(["the", "and", "of", "to", "a", "in"])
+                               .cast("double") / F.size(toks), 6))
+           .withColumn("punct_ratio",
+                       F.round(F.length(F.regexp_replace(
+                           "text", "[a-z0-9 ]", "")).cast("double")
+                           / F.length("text"), 6))
+           .withColumn("mean_token_len",
+                       F.round(F.length("text").cast("double")
+                               / F.size(toks), 6))
+           .withColumn("lang_guess",
+                       F.when(best == 0, "und")
+                        .when(best == en, "en").when(best == it, "it")
+                        .when(best == de, "de").otherwise("es")))
+    w = Window.partitionBy("fingerprint")
+    canonical = F.min("url").over(w)
+    return out.withColumn(
+        "content_dup_of",
+        F.when(F.col("url") == canonical, F.lit(None).cast("string"))
+         .otherwise(canonical))

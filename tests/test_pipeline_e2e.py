@@ -182,3 +182,41 @@ def test_invalid_resume_routed_to_audit(spark, tmp_path):
     assert audit[0]["error_class"] == "InvalidResumeDataError"
     tbl = SnapshotTable(out + "/resumes_extracted").read(spark)
     assert tbl is None or tbl.count() == 0
+
+
+def test_enrich_extracted_matches_catalog_formulas(spark):
+    """enrich_extracted mirrors the catalog's token/quality/lang-id SQL
+    (same formulas, JVM expressions) and marks content duplicates by
+    canonical-min-url per fingerprint."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.operators.catalog import (
+        build_catalog, register_views)
+    from resume_parser_service_spark.pipeline.extract import enrich_extracted
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text")
+    # plant one content duplicate: url "zz-dup" copies doc 0's text
+    first_text = docs.filter("url = '0'").collect()[0]["text"]
+    dup = spark.createDataFrame([("zz-dup", first_text)], "url string, text string")
+    enriched = enrich_extracted(docs.unionByName(dup)).cache()
+
+    cat = build_catalog()
+    for q, cols in [("token_count", ["ws_tokens", "bpe_est_tokens"]),
+                    ("quality_score", ["stopword_ratio", "punct_ratio",
+                                       "mean_token_len"]),
+                    ("lang_id_heuristic", ["predicted_lang"])]:
+        want = {str(r["doc_id"]): tuple(r[c] for c in cols)
+                for r in cat[q][0](spark, sf).collect()}
+        got_cols = ["lang_guess"] if q == "lang_id_heuristic" else cols
+        got = {r["url"]: tuple(r[c] for c in got_cols)
+               for r in enriched.collect()}
+        for k, v in want.items():
+            assert got[k] == v, (q, k)
+
+    dups = {r["url"]: r["content_dup_of"] for r in enriched.collect()}
+    assert dups["zz-dup"] == "0"
+    assert dups["0"] is None
+    assert sum(v is not None for v in dups.values()) >= 1
