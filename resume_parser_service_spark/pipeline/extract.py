@@ -236,15 +236,17 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
                                                  F.lit(""))) / 4.0)
                        .cast("bigint"))
            .withColumn("stopword_ratio",
-                       F.round(hits(["the", "and", "of", "to", "a", "in"])
-                               .cast("double") / F.size(toks), 6))
+                       F.round(F.try_divide(
+                           hits(["the", "and", "of", "to", "a", "in"])
+                           .cast("double"), F.size(toks)), 6))
            .withColumn("punct_ratio",
-                       F.round(F.length(F.regexp_replace(
-                           "text", "[a-z0-9 ]", "")).cast("double")
-                           / F.length("text"), 6))
+                       F.round(F.try_divide(
+                           F.length(F.regexp_replace(
+                               "text", "[a-z0-9 ]", "")).cast("double"),
+                           F.length("text")), 6))
            .withColumn("mean_token_len",
-                       F.round(F.length("text").cast("double")
-                               / F.size(toks), 6))
+                       F.round(F.try_divide(F.length("text").cast("double"),
+                                            F.size(toks)), 6))
            .withColumn("lang_guess",
                        F.when(best == 0, "und")
                         .when(best == en, "en").when(best == it, "it")

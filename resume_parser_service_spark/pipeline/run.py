@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .extract import extract_pages, validate_extracted
+from .extract import enrich_extracted, extract_pages, validate_extracted
 from .writer import SnapshotTable
 
 __all__ = ["run_extraction_job"]
@@ -29,7 +29,8 @@ __all__ = ["run_extraction_job"]
 def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                        salt_partitions: int | None = None,
                        salt_input: bool = False,
-                       compact_after: int | None = None) -> dict:
+                       compact_after: int | None = None,
+                       enrich: bool = False) -> dict:
     """Run (or resume) extraction of ``pages`` into tables under
     ``out_root``: ``resumes_extracted`` + ``extraction_audit``.
     Re-running with the same input is a no-op (idempotent resume).
@@ -38,7 +39,11 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     delta snapshots, bin-pack-compact it and expire the replaced
     snapshots after the commit — the small-file defense for an
     incremental ingest loop (each resumed batch otherwise adds another
-    file set that every downstream scan pays for)."""
+    file set that every downstream scan pays for).
+
+    ``enrich=True``: annotate committed rows with training-data columns
+    (fingerprint, content_dup_of, token counts, quality ratios,
+    lang_guess — see ``extract.enrich_extracted``)."""
     extracted_tbl = SnapshotTable(os.path.join(out_root, "resumes_extracted"))
     audit_tbl = SnapshotTable(os.path.join(out_root, "extraction_audit"))
     run_id = uuid.uuid4().hex[:12]
@@ -54,6 +59,8 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     # and NOT committed, mirroring the service's HTTP-400 path
     # (/root/reference/app/routers/resume_ingestor_router.py:304-321).
     extracted = validate_extracted(extracted)
+    if enrich:
+        extracted = enrich_extracted(extracted)
     has_verr = F.size("validation_errors") > 0
     extracted = extracted.withColumn(
         "status", F.when((F.col("status") == "ok") & has_verr,

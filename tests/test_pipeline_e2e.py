@@ -220,3 +220,20 @@ def test_enrich_extracted_matches_catalog_formulas(spark):
     assert dups["zz-dup"] == "0"
     assert dups["0"] is None
     assert sum(v is not None for v in dups.values()) >= 1
+
+
+def test_run_extraction_job_enrich(spark, tmp_path):
+    from resume_parser_service_spark.pipeline.run import run_extraction_job
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    out = str(tmp_path / "out")
+    stats = run_extraction_job(spark, build_pages_df(spark, 30), out,
+                               enrich=True)
+    assert stats["extracted"] > 0
+    cur = SnapshotTable(out + "/resumes_extracted").read_current(spark)
+    for col in ["fingerprint", "content_dup_of", "ws_tokens",
+                "stopword_ratio", "lang_guess"]:
+        assert col in cur.columns, col
+    row = cur.filter("status = 'ok'").limit(1).collect()[0]
+    assert row["fingerprint"] is not None and row["ws_tokens"] > 0
