@@ -17,6 +17,8 @@ Subcommands via flags:
   --stream         treat --input as a streaming file source (availableNow)
   --compact-after N  bin-pack-compact + expire the extracted table when
                      it reaches N live snapshots (incremental ingest)
+  --enrich         annotate committed rows with training-data columns
+                   (fingerprint, content-dup, tokens, quality, lang)
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--synthesize", type=int, default=None)
     p.add_argument("--stream", action="store_true")
     p.add_argument("--compact-after", type=int, default=None)
+    p.add_argument("--enrich", action="store_true")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -63,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
     stats = run_extraction_job(spark, pages, args.output,
                                salt_partitions=args.partitions,
                                salt_input=args.salt_input,
-                               compact_after=args.compact_after)
+                               compact_after=args.compact_after,
+                               enrich=args.enrich)
     print(json.dumps(stats))
     return 0
 
