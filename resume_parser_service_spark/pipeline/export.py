@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["export_resume_jsonl", "export_text_corpus"]
+__all__ = ["export_resume_jsonl", "export_text_corpus",
+           "export_training_corpus"]
 
 
 def export_resume_jsonl(extracted: DataFrame, path: str,
@@ -31,6 +32,43 @@ def export_resume_jsonl(extracted: DataFrame, path: str,
     if partitions:
         rows = rows.repartition(partitions)
     rows.write.mode("overwrite").option("compression", "gzip").text(path)
+
+
+def export_training_corpus(enriched: DataFrame, path: str,
+                           min_tokens: int = 10,
+                           max_punct_ratio: float = 0.3,
+                           min_stopword_ratio: float = 0.0,
+                           drop_content_dups: bool = True,
+                           partitions: int | None = None) -> dict:
+    """Quality-filtered, content-deduplicated training corpus export
+    over an ``enrich_extracted`` frame — the standard LLM-data shape:
+    drop non-canonical content duplicates, too-short docs, and
+    punctuation-noise pages; keep the annotations in the JSONL so
+    downstream mixers can re-threshold without re-extraction. Returns
+    {"kept", "dropped"} counts (one extra count job on the filtered
+    plan; the writer reuses it via cache)."""
+    base = enriched.filter(F.col("status") == "ok")
+    keep = base.filter(
+        (F.col("ws_tokens") >= min_tokens) &
+        (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= max_punct_ratio) &
+        (F.coalesce(F.col("stopword_ratio"), F.lit(1.0))
+         >= min_stopword_ratio))
+    if drop_content_dups:
+        keep = keep.filter(F.col("content_dup_of").isNull())
+    keep = keep.persist()
+    try:
+        n_keep = keep.count()
+        n_total = base.count()
+        rows = keep.select(F.to_json(F.struct(
+            "url", "text", "lang", "lang_guess", "n_chars", "ws_tokens",
+            "bpe_est_tokens", "stopword_ratio", "punct_ratio",
+            "fingerprint")).alias("value"))
+        if partitions:
+            rows = rows.repartition(partitions)
+        rows.write.mode("overwrite").option("compression", "gzip").text(path)
+    finally:
+        keep.unpersist()
+    return {"kept": n_keep, "dropped": n_total - n_keep}
 
 
 def export_text_corpus(extracted: DataFrame, path: str,

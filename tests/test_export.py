@@ -39,3 +39,33 @@ def test_export_jsonl_roundtrip(spark, tmp_path):
     doc = json.loads(lines2[0])
     assert set(doc) == {"url", "text", "lang", "n_chars"}
     assert doc["n_chars"] >= 10
+
+
+def test_export_training_corpus(spark, tmp_path):
+    """Quality filter + content-dedup + annotation passthrough."""
+    import glob
+    import gzip
+    import json
+
+    from resume_parser_service_spark.pipeline.export import (
+        export_training_corpus)
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted, extract_pages)
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    pages = build_pages_df(spark, 40, with_fixtures=False)
+    extracted, _ = extract_pages(pages)
+    enriched = enrich_extracted(extracted)
+    out = str(tmp_path / "corpus")
+    stats = export_training_corpus(enriched, out, min_tokens=5)
+    assert stats["kept"] > 0
+    lines = []
+    for f in glob.glob(out + "/*.txt.gz"):
+        lines += gzip.open(f, "rt").read().splitlines()
+    assert len(lines) == stats["kept"]
+    rec = json.loads(lines[0])
+    for k in ["url", "text", "lang_guess", "ws_tokens", "fingerprint"]:
+        assert k in rec, k
+    # content duplicates excluded: fingerprints unique
+    fps = [json.loads(l)["fingerprint"] for l in lines]
+    assert len(fps) == len(set(fps))
