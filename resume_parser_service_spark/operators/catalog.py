@@ -273,6 +273,10 @@ bb AS (
   FROM pdots GROUP BY vec_id, cast(floor(p / {band_size}.0) as int)
 ),
 cand AS (
+  -- upfront DISTINCT wins: measured 4.2 s vs 5.8 s (sf0.1, interleaved
+  -- A/B) against deferring dedup past the verify — duplicate
+  -- candidates (<=1 per extra colliding band) inflate the verify joins
+  -- more than the candidate-level shuffle costs
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM bb x JOIN bb y
     ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
