@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.3.0"
+KERNEL_VERSION = "map-1.3.1"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -288,6 +288,16 @@ def _personal(lines: list[str], links: list[str],
             zm = re.search(r"\b(\d{5}(?:-\d{4})?)\b", l)
             if zm:
                 pi["zip_code"] = zm.group(1)
+                if pi["address"] is None and "," in l[:zm.start()]:
+                    pi["address"] = l[:zm.start()].rstrip(" ,")
+                # European address shape: city follows the postal code
+                # ("Via di Creto 61, 16165 GENOVA (GE)" -> GENOVA)
+                if pi["city"] is None:
+                    cm = re.match(r"\s*([A-ZÀ-Ý][A-Za-zÀ-ÿ .'-]*?)"
+                                  r"(?:\s*\([A-Z]{2}\))?\s*$",
+                                  l[zm.end():])
+                    if cm and cm.group(1).strip():
+                        pi["city"] = cm.group(1).strip()
     m = _EMAIL_RE.search(body) or _EMAIL_LENIENT_RE.search(body)
     if m:
         pi["email"] = _rejoin_wrapped_tld(body, m)

@@ -213,12 +213,14 @@ def test_reference_golden_field_recall():
             "personal_information"]
         got[pdf] = (ours, ref)
 
-    # CVENG: all four core fields must match the reference output
+    # CVENG: all four core fields must match the reference output,
+    # plus city derived from the European address line (r2 session 2)
     ours, ref = got["CVENG.pdf"]
     assert ours["name"] == ref["name"] == "LORENZO"
     assert ours["surname"] == ref["surname"] == "FOSCHI"
     assert ours["email"] == ref["email"]
     assert digits(ours["phone"]) == digits(ref["phone"])
+    assert ours["city"] == ref["city"] == "GENOVA"
 
     # FedericoElia: email + phone (+prefix) match; the name glyph run
     # has no space ("FEDERICOELIA") so the name/surname split is a
