@@ -16,6 +16,7 @@ from __future__ import annotations
 import gzip
 import io
 import re
+import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -39,7 +40,10 @@ def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes into response-record dicts
     (url, warc_ts, payload). Tolerates gzip (multi-member) framing."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        try:
+            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        except (OSError, EOFError, zlib.error):
+            return []  # corrupt/truncated container: no records, no crash
     records = []
     pos = 0
     n = len(data)
@@ -80,7 +84,7 @@ def parse_warc(data: bytes) -> list[dict]:
                 try:
                     payload = gzip.GzipFile(
                         fileobj=io.BytesIO(payload)).read()
-                except OSError:
+                except (OSError, EOFError, zlib.error):
                     pass  # keep raw bytes; validation downstream rejects
         else:
             payload = body

@@ -90,3 +90,19 @@ def test_warc_to_extraction_job(spark, tmp_path):
     audit = SnapshotTable(str(tmp_path / "out/extraction_audit")).read(spark)
     bad = audit.filter(F.col("url") == "https://a.example/doc3").collect()
     assert bad[0]["error_class"] == "InvalidFileTypeError"
+
+
+def test_parse_warc_garbage_fails_soft():
+    """Arbitrary bytes (including truncated/corrupt gzip and bogus
+    Content-Length) must return a list, never hang or raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(data=st.binary(max_size=500))
+    def check(data):
+        for payload in (data, b"WARC/1.0\r\n" + data,
+                        b"\x1f\x8b" + data):
+            assert isinstance(parse_warc(payload), list)
+
+    check()
