@@ -4,7 +4,7 @@ Runs the identical extraction job on the identical materialized corpus
 at two parallelism levels — local[8] and local[32] — in separate JVMs
 (fresh process per level so executor-thread count is honest), plus a
 skew probe (hot-domain corpus with and without input salting).
-Writes results into BENCH/BASELINE.md and prints a JSON summary.
+Writes results into BENCH/scaling_bench.md and prints a JSON summary.
 
 Usage: python tools/scaling_bench.py [n_docs]
 """
@@ -146,7 +146,9 @@ skew_nosalt={sk_no['walls']}, skew_salt={sk_yes['walls']}
 
 Generated {summary['generated_at']} by tools/scaling_bench.py.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # own file — BENCH/BASELINE.md is curated by hand and must
+    # never be clobbered by a tool rerun
+    with open(os.path.join(REPO, "BENCH", "scaling_bench.md"), "w") as fh:
         fh.write(md)
 
 
