@@ -12,8 +12,9 @@ Built from the public PDF 1.7 spec (ISO 32000-1). Scope (matches every
 reference fixture, probed — see FIXTURES.md §5): classic xref tables
 (incl. /Prev chains) AND PDF 1.5+ xref/object streams, stream filters
 FlateDecode (with PNG predictors) / LZWDecode / ASCIIHexDecode /
-ASCII85Decode / RunLengthDecode, simple + Type0 fonts with ToUnicode
-CMaps or /Encoding tables (WinAnsi/MacRoman/Standard + /Differences),
+ASCII85Decode / RunLengthDecode, simple + Type0 + Type3 fonts with
+ToUnicode CMaps or /Encoding tables (WinAnsi/MacRoman/Standard +
+/Differences; Type3 widths normalized through /FontMatrix),
 BT/ET text blocks with Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/" operators, q/Q/cm
 graphics state. Unsupported filters (DCTDecode images etc.) are
 skipped — they carry no text; encrypted files raise PdfError.
@@ -36,7 +37,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.4.0"
+KERNEL_VERSION = "pdf-1.5.0"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -877,13 +878,27 @@ class _Font:
                         self.default_width = 1000.0
                     self._parse_cid_w(doc, doc.resolve(dfont.get("W")))
             return
+        # Type3 widths are in the font's own glyph space, defined by
+        # /FontMatrix (spec 9.6.5) — NOT the em/1000 space of Type1/
+        # TrueType. Normalize to em/1000 units here so every caller's
+        # ``width / 1000 * fsize`` stays correct. (An Arial Black Type3
+        # subset with FontMatrix 1/2048 otherwise overestimates every
+        # advance 2.05x and swallows real inter-word gaps.)
+        wscale = 1.0
+        if subtype == "Type3":
+            fm = doc.resolve(fd.get("FontMatrix"))
+            if isinstance(fm, list) and fm and \
+                    isinstance(doc.resolve(fm[0]), (int, float)):
+                fm0 = float(doc.resolve(fm[0]))
+                if fm0 != 0.0:
+                    wscale = fm0 * 1000.0
         first = doc.resolve(fd.get("FirstChar"))
         warr = doc.resolve(fd.get("Widths"))
         if isinstance(first, int) and isinstance(warr, list):
             for i, w in enumerate(warr):
                 w = doc.resolve(w)
                 if isinstance(w, (int, float)):
-                    self.widths[first + i] = float(w)
+                    self.widths[first + i] = float(w) * wscale
 
     def _parse_cid_w(self, doc: _Document, w):
         """CIDFont /W array: ``c [w1 w2 ...]`` or ``c1 c2 w`` items."""

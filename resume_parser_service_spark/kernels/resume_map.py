@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.3.1"
+KERNEL_VERSION = "map-1.4.0"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -104,6 +104,12 @@ _LEVEL_RE = re.compile(
     r"^(?:A1|A2|B1|B2|C1|C2|Native|Fluent|Basic|Beginner|Intermediate|"
     r"Advanced|Professional|Conversational|Mother\s?tongue)\b", re.I)
 _LOCATION_RE = re.compile(r"^([A-Z][A-Za-z .'-]+),\s*([A-Z][A-Za-z .'-]+)$")
+# plausible language names for the Europass-panel detector (lowercase)
+_LANG_NAMES = frozenset(
+    "english italian french german spanish portuguese dutch russian "
+    "chinese japanese arabic hindi polish romanian greek swedish "
+    "norwegian danish finnish turkish czech slovak hungarian ukrainian "
+    "korean".split())
 
 
 def empty_resume() -> dict:
@@ -598,6 +604,29 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                     else:
                         interests.extend(s.strip() for s in ln.split(",")
                                          if s.strip())
+    # Europass language panel: under two-column linearization the panel
+    # interleaves with body prose, so the section parser sees certificate
+    # noise ("PET. Cambridge Assessment. 19/07/2018") instead of the
+    # panel. The panel markers themselves survive linearization:
+    # "MOTHER TONGUE(S): <lang>" and an ALL-CAPS language name whose
+    # following lines carry the five repeated CEFR skill cells
+    # ("C1 C1 C1 C1 C1"). When the mother-tongue marker is present the
+    # panel is authoritative (matches the reference's own golden for
+    # CVENG, cv_output/worse.json).
+    mt = re.search(r"MOTHER\s+TONGUE\(?S?\)?\s*:?\s*([A-Z][a-z]+)", text)
+    if mt:
+        panel = {mt.group(1): "Mother tongue"}
+        for cap in re.finditer(r"\b([A-Z]{4,})\b", text):
+            name = cap.group(1).title()
+            if name.lower() not in _LANG_NAMES or name in panel:
+                continue
+            window = text[cap.end():cap.end() + 220]
+            cm = re.search(r"\b([ABC][12])\b(?:\W+\1\b)+", window)
+            if cm:
+                panel[name] = cm.group(1)
+        languages = [{"language": k, "proficiency": v}
+                     for k, v in panel.items()]
+
     if not languages:
         # fallback: languages rendered as a skills-style bullet anywhere
         # ("● Languages (Italian - Native, English - Professional)") —

@@ -222,10 +222,13 @@ def test_reference_golden_field_recall():
     assert digits(ours["phone"]) == digits(ref["phone"])
     assert ours["city"] == ref["city"] == "GENOVA"
 
-    # FedericoElia: email + phone (+prefix) match; the name glyph run
-    # has no space ("FEDERICOELIA") so the name/surname split is a
-    # documented gap, not asserted
+    # FedericoElia: all core fields incl. the name/surname split — the
+    # header is a Type3 (Arial Black subset) font whose /FontMatrix is
+    # 1/2048, so the inter-word gap only survives with FontMatrix-scaled
+    # widths (pdf-1.5.0)
     ours, ref = got["FedericoElia.pdf"]
+    assert ours["name"] == ref["name"] == "FEDERICO"
+    assert ours["surname"] == ref["surname"] == "ELIA"
     assert ours["email"] == ref["email"]
     assert digits(ours["phone"]) == digits(ref["phone"])
     assert ours["phone_prefix"] == ref["phone_prefix"]
@@ -253,8 +256,11 @@ def test_reference_golden_language_recall():
 
     if not os.path.exists("/root/reference/cv_output/both_resume2.json"):
         pytest.skip("reference goldens not present")
+    # CVENG's panel is Europass-interleaved — the mother-tongue/CEFR
+    # panel detector (map-1.4.0) must recover the clean pair
     for pdf, golden in [("resume2.pdf", "both_resume2.json"),
-                        ("FedericoElia.pdf", "resume.json")]:
+                        ("FedericoElia.pdf", "resume.json"),
+                        ("CVENG.pdf", "worse.json")]:
         r = extract_pdf(open(f"/root/reference/{pdf}", "rb").read())
         ours = map_resume(r["text"], r["links"])["languages"]
         ref = json.load(
