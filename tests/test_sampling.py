@@ -1,0 +1,107 @@
+"""Deterministic sampling operators: DuckDB parity + the properties
+that make them safe at scale (nested subsamples, stable disjoint
+splits, content-deterministic quotas, shuffle-free sample plans)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_parser_service_spark.operators import sampling  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SF_DIR),
+                                reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _parity(spark, duck, spark_sql, duck_sql):
+    from resume_parser_service_spark.operators.catalog import register_views
+    register_views(spark, SF_DIR)
+    sdf = _norm(spark.sql(spark_sql).toPandas())
+    odf = _norm(duck.execute(duck_sql).df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf)
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+    return sdf
+
+
+def test_sample_fraction_parity_and_rate(spark, duck):
+    sdf = _parity(spark, duck,
+                  sampling.sample_fraction_sql("spark", 0.2),
+                  sampling.sample_fraction_sql("duck", 0.2))
+    # 500 docs at p=0.2 — binomial(500, .2), +-5 sigma
+    assert 55 <= len(sdf) <= 145
+
+
+def test_sample_fraction_nested_subsets(spark):
+    from resume_parser_service_spark.operators.catalog import register_views
+    register_views(spark, SF_DIR)
+    small = {r.doc_id for r in
+             spark.sql(sampling.sample_fraction_sql("spark", 0.05)).collect()}
+    big = {r.doc_id for r in
+           spark.sql(sampling.sample_fraction_sql("spark", 0.2)).collect()}
+    assert small and small <= big
+
+
+def test_sample_fraction_plan_shuffle_free(spark):
+    from resume_parser_service_spark.operators.catalog import register_views
+    register_views(spark, SF_DIR)
+    plan = (spark.sql(sampling.sample_fraction_sql("spark", 0.1).split(
+        "ORDER BY")[0])._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan  # pure map-side filter over the scan
+
+
+def test_hash_split_parity_disjoint_exhaustive(spark, duck):
+    sdf = _parity(spark, duck,
+                  sampling.hash_split_sql("spark"),
+                  sampling.hash_split_sql("duck"))
+    assert len(sdf) == 500  # every row tagged exactly once
+    counts = sdf["split"].value_counts()
+    assert set(counts.index) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # split is a pure function of doc_id: resampling the corpus cannot
+    # move a row between splits (same bucket expression, same row)
+    again = _norm(duck.execute(sampling.hash_split_sql("duck")).df())
+    pd.testing.assert_frame_equal(sdf, again, check_dtype=False)
+
+
+def test_per_group_cap_parity_and_quota(spark, duck):
+    sdf = _parity(spark, duck,
+                  sampling.per_group_cap_sql("spark", "lang", 7),
+                  sampling.per_group_cap_sql("duck", "lang", 7))
+    assert sdf.groupby("lang")["rn"].max().max() <= 7
+    # content-deterministic: the kept doc_ids for a group are a set
+    # function of the data, asserted by the cross-engine parity above
+
+
+def test_global_shuffle_parity_and_total_order(spark, duck):
+    from resume_parser_service_spark.operators.catalog import register_views
+    register_views(spark, SF_DIR)
+    sdf = spark.sql(sampling.global_shuffle_sql("spark")).toPandas()
+    odf = duck.execute(sampling.global_shuffle_sql("duck")).df()
+    # ORDER IS the contract here — compare unsorted
+    assert list(sdf["doc_id"]) == list(odf["doc_id"])
+    assert sdf["shuffle_order"].is_monotonic_increasing
+    # genuinely shuffled: not the original doc_id order
+    assert list(sdf["doc_id"]) != sorted(sdf["doc_id"])
