@@ -118,7 +118,7 @@ FROM bitsums ORDER BY doc_id
 """
 
 
-def _shingle_rel(dialect: str, n: int = 5) -> str:
+def _shingle_rel(dialect: str, n: int = 5, table: str = "documents") -> str:
     """(doc_id, shingle) rows — one per ``n``-gram position — built by
     ARRAY SLICING over the token array: a pure per-row map (explode of a
     transform), ZERO shuffles. The r01 formulation self-joined the
@@ -132,13 +132,13 @@ def _shingle_rel(dialect: str, n: int = 5) -> str:
                  THEN transform(sequence(0, size(toks) - {n}),
                                 i -> concat_ws(' ', slice(toks, i + 1, {n})))
                  ELSE array() END) AS shingle
-  FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
+  FROM (SELECT doc_id, {toks} AS toks FROM {table})"""
     return f"""
   SELECT doc_id,
          unnest(list_transform(
              generate_series(1, greatest(len(toks) - {n - 1}, 0)),
              i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
-  FROM (SELECT doc_id, {toks} AS toks FROM documents)"""
+  FROM (SELECT doc_id, {toks} AS toks FROM {table})"""
 
 
 def _shingle_sql(dialect: str) -> str:

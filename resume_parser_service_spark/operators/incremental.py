@@ -1,0 +1,105 @@
+"""Incremental near-dup dedup: new batch vs a persisted band index.
+
+The realistic 100 TB workflow is NOT "re-cluster the world" — it is
+"does tonight's crawl contain near-duplicates of anything already in
+the corpus?". The standard answer (MinHash + LSH banding, as in the
+batch pair generators in ``catalog.py``) becomes incremental by
+persisting each document's band signatures as an append-only index:
+
+1. ``band_signatures`` — per doc: ``n_hashes`` shingle-MinHash values
+   folded into ``n_hashes / rows_per_band`` band hashes. One row per
+   (doc, band). Pure map + one per-doc aggregation, no joins.
+2. ``match_against_index`` — candidate pairs (new doc, indexed doc)
+   that collide in >= 1 band. The new batch is tiny next to the index,
+   so the BATCH side is broadcast and the index only streams through a
+   map-side hash join: zero shuffle of the index, ever. (With the index
+   table bucketed by ``band_hash`` the scan also prunes buckets.)
+3. Novel docs = batch anti-join candidates; their bands are appended to
+   the index for the next batch. The index never rewrites.
+
+Probability of catching a true near-dup pair with Jaccard similarity s:
+``1 - (1 - s^rows_per_band) ^ n_bands`` — the defaults (8 hashes, 2
+rows/band -> 4 bands) catch s=0.8 pairs w.p. ~0.98. Collisions are
+*candidates*; exact verification (shingle Jaccard, as in
+``ngram_jaccard_pairs``) runs on the candidate set only.
+
+Cross-engine parity: the signature SQL is emitted for both Spark and
+DuckDB from the same builder (tests/test_incremental.py), so the
+classification is engine-portable like every other catalog operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _hash60, _shingle_rel
+
+__all__ = ["band_signatures_sql", "band_signatures",
+           "match_against_index", "split_batch"]
+
+
+def band_signatures_sql(dialect: str, table: str = "documents",
+                        n_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """(doc_id, band_id, band_hash) — one row per document band."""
+    if n_hashes % rows_per_band:
+        raise ValueError("n_hashes must divide into bands evenly")
+    cast_t = "string" if dialect == "spark" else "varchar"
+    mins = ",\n    ".join(
+        "min({h}) AS mh{i}".format(
+            h=_hash60(f"concat('s{i}#', shingle)", dialect), i=i)
+        for i in range(n_hashes))
+    bands = []
+    for b in range(n_hashes // rows_per_band):
+        parts = ", '#', ".join(
+            f"cast(mh{b * rows_per_band + r} as {cast_t})"
+            for r in range(rows_per_band))
+        bh = _hash60(f"concat('b{b}#', {parts})", dialect)
+        bands.append(f"SELECT doc_id, {b} AS band_id, {bh} AS band_hash "
+                     f"FROM sig")
+    union = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect, table=table)})
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+)
+{union}
+ORDER BY doc_id, band_id
+"""
+
+
+def band_signatures(spark: SparkSession, docs: DataFrame,
+                    n_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Band signatures for an arbitrary (doc_id, text) DataFrame."""
+    view = f"_inc_docs_{abs(id(docs)) % 10 ** 9}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(band_signatures_sql(
+        "spark", table=view, n_hashes=n_hashes, rows_per_band=rows_per_band))
+
+
+def match_against_index(new_bands: DataFrame,
+                        index_bands: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_id, dup_of): batch docs colliding
+    with an indexed doc in >= 1 band. The batch side is explicitly
+    broadcast — the index streams map-side and is never shuffled."""
+    idx = index_bands.select(
+        F.col("doc_id").alias("dup_of"), "band_id", "band_hash")
+    return (idx.join(F.broadcast(new_bands), ["band_id", "band_hash"])
+            .select("doc_id", "dup_of").distinct())
+
+
+def split_batch(new_docs: DataFrame, new_bands: DataFrame,
+                index_bands: DataFrame) -> tuple[DataFrame, DataFrame,
+                                                 DataFrame]:
+    """(novel_docs, dup_pairs, updated_index): classify the batch and
+    grow the index by the novel docs' bands — append-only, no rewrite."""
+    pairs = match_against_index(new_bands, index_bands)
+    novel = new_docs.join(pairs.select("doc_id").distinct(),
+                          "doc_id", "left_anti")
+    novel_bands = new_bands.join(pairs.select("doc_id").distinct(),
+                                 "doc_id", "left_anti")
+    return novel, pairs, index_bands.unionByName(novel_bands)

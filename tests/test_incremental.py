@@ -1,0 +1,101 @@
+"""Incremental band-index dedup: planted near-dups of indexed docs are
+caught with the right dup_of, novel docs pass, the index grows
+append-only, and the signature SQL is engine-portable."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_parser_service_spark.operators import incremental  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SF_DIR),
+                                reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    indexed = docs.filter("doc_id % 3 != 0")
+    fresh = docs.filter("doc_id % 3 = 0 AND doc_id < 30")
+    # planted near-dups: indexed texts with ONE token swapped, new ids
+    dups = spark.sql("""
+        SELECT doc_id + 100000 AS doc_id,
+               concat('zqx ', substring(text, instr(text, ' ') + 1)) AS text
+        FROM {d} WHERE doc_id IN (1, 2, 4)
+    """, d=indexed)
+    batch = fresh.unionByName(dups)
+    return indexed, fresh, dups, batch
+
+
+def test_split_batch_classification(spark, corpus):
+    indexed, fresh, dups, batch = corpus
+    idx_bands = incremental.band_signatures(spark, indexed)
+    new_bands = incremental.band_signatures(spark, batch)
+    novel, pairs, updated = incremental.split_batch(
+        batch, new_bands, idx_bands)
+
+    got_pairs = {(r.doc_id, r.dup_of) for r in pairs.collect()}
+    # every planted dup is caught pointing at its source doc
+    assert {(100001, 1), (100002, 2), (100004, 4)} <= got_pairs
+    flagged = {d for d, _ in got_pairs}
+    novel_ids = {r.doc_id for r in novel.collect()}
+    # flagged and novel partition the batch
+    batch_ids = {r.doc_id for r in batch.collect()}
+    assert flagged | novel_ids == batch_ids
+    assert not flagged & novel_ids
+    # the synthetic fresh docs are pairwise-distinct texts — none should
+    # collide with the index in ALL the planted cases' absence; allow
+    # incidental LSH collisions only among non-planted ids
+    assert {100001, 100002, 100004} <= flagged
+
+    # index grows append-only by exactly the novel docs' bands
+    n_idx = idx_bands.count()
+    n_novel_bands = 4 * len(novel_ids)
+    assert updated.count() == n_idx + n_novel_bands
+
+
+def test_index_join_broadcasts_batch(spark, corpus):
+    indexed, _, _, batch = corpus
+    idx_bands = incremental.band_signatures(spark, indexed)
+    new_bands = incremental.band_signatures(spark, batch)
+    plan = (incremental.match_against_index(new_bands, idx_bands)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan  # index side streams, no shuffle
+
+
+def test_signature_sql_engine_parity(spark, corpus):
+    indexed, _, _, _ = corpus
+    indexed.createOrReplaceTempView("_par_docs")
+    sdf = spark.sql(incremental.band_signatures_sql(
+        "spark", table="_par_docs")).toPandas()
+    con = duckdb.connect()
+    con.register("_par_docs", indexed.toPandas())
+    odf = con.execute(incremental.band_signatures_sql(
+        "duck", table="_par_docs")).df()
+    for df in (sdf, odf):
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+    sdf = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
+    odf = odf.sort_values(list(odf.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+def test_reingest_is_noop(spark, corpus):
+    """Re-presenting already-indexed docs flags every one of them —
+    the idempotency property an incremental pipeline leans on."""
+    indexed, _, _, _ = corpus
+    idx_bands = incremental.band_signatures(spark, indexed)
+    reingest = indexed.limit(20)
+    re_bands = incremental.band_signatures(spark, reingest)
+    novel, pairs, _ = incremental.split_batch(reingest, re_bands, idx_bands)
+    assert novel.count() == 0
+    assert pairs.filter("doc_id = dup_of").count() == 20
