@@ -58,18 +58,28 @@ def sample_fraction_sql(dialect: str, fraction: float,
             f"ORDER BY {key}")
 
 
-def hash_split_sql(dialect: str, weights: dict[str, float] | None = None,
-                   table: str = "documents", key: str = "doc_id") -> str:
-    """Tag every row with a split label; splits are disjoint, exhaustive,
-    and stable under corpus growth (cumulative bucket thresholds)."""
-    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def split_case_expr(dialect: str, key: str,
+                    weights: dict[str, float] | None = None) -> str:
+    """CASE expression assigning a stable split label from the key's
+    hash bucket (cumulative thresholds — disjoint and exhaustive)."""
+    weights = weights or DEFAULT_SPLITS
     cases, cum = [], 0.0
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
         cases.append(f"WHEN {_bucket(key, dialect)} < "
                      f"{int(round(cum * _SCALE))} THEN '{name}'")
-    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def hash_split_sql(dialect: str, weights: dict[str, float] | None = None,
+                   table: str = "documents", key: str = "doc_id") -> str:
+    """Tag every row with a split label; splits are disjoint, exhaustive,
+    and stable under corpus growth (cumulative bucket thresholds)."""
+    case = split_case_expr(dialect, key, weights)
     return (f"SELECT *, {case} AS split FROM {table} ORDER BY {key}")
 
 

@@ -39,14 +39,22 @@ def export_training_corpus(enriched: DataFrame, path: str,
                            max_punct_ratio: float = 0.3,
                            min_stopword_ratio: float = 0.0,
                            drop_content_dups: bool = True,
-                           partitions: int | None = None) -> dict:
+                           partitions: int | None = None,
+                           split_weights: dict[str, float] | None = None
+                           ) -> dict:
     """Quality-filtered, content-deduplicated training corpus export
     over an ``enrich_extracted`` frame — the standard LLM-data shape:
     drop non-canonical content duplicates, too-short docs, and
     punctuation-noise pages; keep the annotations in the JSONL so
     downstream mixers can re-threshold without re-extraction. Returns
     {"kept", "dropped"} counts (one extra count job on the filtered
-    plan; the writer reuses it via cache)."""
+    plan; the writer reuses it via cache).
+
+    ``split_weights`` (e.g. ``{"train": .9, "val": .05, "test": .05}``)
+    additionally tags each row with a deterministic url-hash split
+    (operators.sampling semantics: disjoint, exhaustive, stable under
+    corpus growth) and writes one directory per split
+    (``split=train/``...); per-split counts are added to the stats."""
     base = enriched.filter(F.col("status") == "ok")
     keep = base.filter(
         (F.col("ws_tokens") >= min_tokens) &
@@ -55,20 +63,33 @@ def export_training_corpus(enriched: DataFrame, path: str,
          >= min_stopword_ratio))
     if drop_content_dups:
         keep = keep.filter(F.col("content_dup_of").isNull())
+    if split_weights:
+        from ..operators.sampling import split_case_expr
+        keep = keep.withColumn(
+            "split", F.expr(split_case_expr("spark", "url", split_weights)))
     keep = keep.persist()
     try:
         n_keep = keep.count()
         n_total = base.count()
-        rows = keep.select(F.to_json(F.struct(
-            "url", "text", "lang", "lang_guess", "n_chars", "ws_tokens",
-            "bpe_est_tokens", "stopword_ratio", "punct_ratio",
-            "fingerprint")).alias("value"))
+        cols = ["url", "text", "lang", "lang_guess", "n_chars", "ws_tokens",
+                "bpe_est_tokens", "stopword_ratio", "punct_ratio",
+                "fingerprint"] + (["split"] if split_weights else [])
+        rows = keep.select(
+            F.to_json(F.struct(*cols)).alias("value"),
+            *(["split"] if split_weights else []))
         if partitions:
             rows = rows.repartition(partitions)
-        rows.write.mode("overwrite").option("compression", "gzip").text(path)
+        writer = rows.write.mode("overwrite").option("compression", "gzip")
+        stats = {"kept": n_keep, "dropped": n_total - n_keep}
+        if split_weights:
+            writer.partitionBy("split").text(path)
+            stats["splits"] = {r["split"]: r["count"] for r in
+                               keep.groupBy("split").count().collect()}
+        else:
+            writer.text(path)
     finally:
         keep.unpersist()
-    return {"kept": n_keep, "dropped": n_total - n_keep}
+    return stats
 
 
 def export_text_corpus(extracted: DataFrame, path: str,

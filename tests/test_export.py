@@ -69,3 +69,42 @@ def test_export_training_corpus(spark, tmp_path):
     # content duplicates excluded: fingerprints unique
     fps = [json.loads(l)["fingerprint"] for l in lines]
     assert len(fps) == len(set(fps))
+
+
+def test_export_training_corpus_splits(spark, tmp_path):
+    """Deterministic train/val/test split export: one directory per
+    split, rows tagged consistently, per-split counts returned."""
+    import glob
+    import gzip
+    import json
+
+    from resume_parser_service_spark.pipeline.export import (
+        export_training_corpus)
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted, extract_pages)
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    pages = build_pages_df(spark, 60, with_fixtures=False)
+    extracted, _ = extract_pages(pages)
+    enriched = enrich_extracted(extracted)
+    out = str(tmp_path / "corpus")
+    stats = export_training_corpus(
+        enriched, out, min_tokens=5,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sum(stats["splits"].values()) == stats["kept"]
+    assert stats["splits"].get("train", 0) > 0
+    seen = 0
+    for d in glob.glob(out + "/split=*"):
+        split = d.rsplit("=", 1)[1]
+        for f in glob.glob(d + "/*.txt.gz"):
+            for line in gzip.open(f, "rt").read().splitlines():
+                assert json.loads(line)["split"] == split
+                seen += 1
+    assert seen == stats["kept"]
+
+    # stability: exporting the same frame again lands every url in the
+    # same split (pure function of url hash)
+    stats2 = export_training_corpus(
+        enriched, str(tmp_path / "corpus2"), min_tokens=5,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    assert stats2["splits"] == stats["splits"]
