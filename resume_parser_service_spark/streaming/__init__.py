@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 from ..pipeline.run import run_extraction_job
 from ..schema import PAGES_SCHEMA
 
-__all__ = ["stream_extraction"]
+__all__ = ["stream_extraction", "stream_windowed_metrics"]
 
 
 def stream_extraction(spark: SparkSession, input_dir: str, out_root: str,
@@ -45,6 +45,46 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_root: str,
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_metrics(spark: SparkSession, input_dir: str,
+                            out_dir: str, checkpoint_dir: str | None = None,
+                            window: str = "1 hour",
+                            watermark: str = "10 minutes",
+                            available_now: bool = True):
+    """Continuous ingest monitoring: per-(event-time window, lang) doc
+    counts and byte volumes over the pages stream — the streaming
+    analogue of the batch hour-histogram queries.
+
+    Event time is ``warc_ts`` (when the page was crawled, not when the
+    file arrived), with a watermark bounding how late a page may arrive
+    and still count. Append output mode writes each window exactly once,
+    when the watermark passes its end — so the parquet sink is
+    append-only and safely consumable while the stream runs. Rows later
+    than the watermark are dropped by contract (counted nowhere), which
+    is what bounds aggregation state at 100 TB: open state is
+    O(open windows x langs), independent of corpus size, and the
+    watermark survives restarts via the checkpoint."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_ckpt")
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", "64")
+              .parquet(input_dir))
+    agg = (stream
+           .withWatermark("warc_ts", watermark)
+           .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.length("html")).alias("bytes_in")))
+    flat = agg.select(F.col("win.start").alias("window_start"),
+                      F.col("win.end").alias("window_end"),
+                      "lang", "n_docs", "bytes_in")
+    writer = (flat.writeStream.outputMode("append")
+              .format("parquet").option("path", out_dir)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
