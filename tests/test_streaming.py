@@ -81,3 +81,49 @@ def test_stream_windowed_metrics_watermark_late_data(spark, tmp_path):
     assert rows[10] == 2          # u1, u2 — late u4 NOT recounted
     assert rows[11] == 1          # u3 alone
     assert 12 not in rows         # still open (watermark <= 13:00)
+
+
+def test_stream_sessionize_stateful_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions split on the
+    inactivity gap (state carried ACROSS micro-batch restarts), and an
+    idle user's open session drains via EventTimeTimeout when the
+    watermark passes last_event + gap."""
+    import datetime as dt
+
+    from resume_parser_service_spark.streaming import stream_sessionize
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+
+    def ev(eid, uid, h, m, value=1.0):
+        return (eid, dt.datetime(2024, 1, 1, h, m), uid, "click",
+                value, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    # batch 1: user 1 has two events 10:00/10:10 (one session);
+    # user 2 has one event 10:05
+    spark.createDataFrame(
+        [ev(0, 1, 10, 0), ev(1, 1, 10, 10), ev(2, 2, 10, 5)],
+        schema).write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(300)
+
+    # batch 2 (restart, same checkpoint): user 1 returns at 12:00 —
+    # past the gap, so the 10:00-10:10 session closes; the watermark
+    # advances to 11:50, past user 2's 10:05+30min timeout, so user 2's
+    # session drains with no new event for that user
+    spark.createDataFrame([ev(3, 1, 12, 0)], schema) \
+        .write.mode("append").parquet(in_dir)
+    q2 = stream_sessionize(spark, in_dir, out_dir, gap_minutes=30)
+    q2.awaitTermination(300)
+
+    rows = {(r.user_id, r.session_start.minute, r.n_events)
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (1, 0, 2) in rows     # user 1: 10:00-10:10, two events
+    assert (2, 5, 1) in rows     # user 2: drained by timeout
+    # user 1's 12:00 session is still open — not emitted
+    assert not any(u == 1 and m == 0 and n == 1 for u, m, n in rows
+                   if (u, m, n) != (1, 0, 2))
+    assert len(rows) == 2
