@@ -19,6 +19,8 @@ Subcommands via flags:
                      it reaches N live snapshots (incremental ingest)
   --enrich         annotate committed rows with training-data columns
                    (fingerprint, content-dup, tokens, quality, lang)
+  --neardup-index  maintain an append-only MinHash band index across
+                   runs and tag rows near-duplicating earlier batches
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stream", action="store_true")
     p.add_argument("--compact-after", type=int, default=None)
     p.add_argument("--enrich", action="store_true")
+    p.add_argument("--neardup-index", action="store_true")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -67,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
                                salt_partitions=args.partitions,
                                salt_input=args.salt_input,
                                compact_after=args.compact_after,
-                               enrich=args.enrich)
+                               enrich=args.enrich,
+                               neardup_index=args.neardup_index)
     print(json.dumps(stats))
     return 0
 

@@ -30,7 +30,8 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                        salt_partitions: int | None = None,
                        salt_input: bool = False,
                        compact_after: int | None = None,
-                       enrich: bool = False) -> dict:
+                       enrich: bool = False,
+                       neardup_index: bool = False) -> dict:
     """Run (or resume) extraction of ``pages`` into tables under
     ``out_root``: ``resumes_extracted`` + ``extraction_audit``.
     Re-running with the same input is a no-op (idempotent resume).
@@ -43,7 +44,19 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
 
     ``enrich=True``: annotate committed rows with training-data columns
     (fingerprint, content_dup_of, token counts, quality ratios,
-    lang_guess — see ``extract.enrich_extracted``)."""
+    lang_guess — see ``extract.enrich_extracted``).
+
+    ``neardup_index=True``: maintain an append-only MinHash band index
+    (table ``neardup_bands``) across runs and tag each committed row
+    with ``neardup_of`` — the url of an earlier-batch near-duplicate it
+    collides with (NULL when novel). Flag-don't-drop: the export layer
+    decides the policy. Granularity is the batch boundary (within-batch
+    near-dups are the batch operators' job; exact within-batch dups are
+    already ``content_dup_of`` under ``enrich``). The index is never
+    rewritten — each run appends only the new batch's bands — so the
+    cost of dedup against a 100 TB corpus is one broadcast of the
+    batch's signatures against a streamed index scan
+    (``operators.incremental``)."""
     extracted_tbl = SnapshotTable(os.path.join(out_root, "resumes_extracted"))
     audit_tbl = SnapshotTable(os.path.join(out_root, "extraction_audit"))
     run_id = uuid.uuid4().hex[:12]
@@ -73,6 +86,7 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     # One materialization of the kernel output; everything below reuses it.
     extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)
+    new_bands = None
     try:
         n_extracted = extracted.count()
         n_rejected = rejected.count()
@@ -81,8 +95,35 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                     "snapshot_id": None, "compacted": None,
                     "resumed_noop": True}
 
+        bands_tbl = None
+        if neardup_index:
+            from ..operators.incremental import (band_signatures,
+                                                 match_against_index)
+            bands_tbl = SnapshotTable(os.path.join(out_root,
+                                                   "neardup_bands"))
+            ok_docs = (extracted.filter(F.col("status") == "ok")
+                       .select(F.col("url").alias("doc_id"), "text"))
+            # signatures derive from the PERSISTED kernel output — the
+            # kernel does not run a second time for the index
+            new_bands = band_signatures(spark, ok_docs) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            idx = bands_tbl.read(spark)
+            if idx is not None:
+                pairs = match_against_index(
+                    new_bands, idx.select(F.col("url").alias("doc_id"),
+                                          "band_id", "band_hash"))
+                flags = (pairs.groupBy("doc_id")
+                         .agg(F.min("dup_of").alias("neardup_of"))
+                         .withColumnRenamed("doc_id", "url"))
+            else:  # first run bootstraps the index; nothing to match
+                flags = spark.createDataFrame(
+                    [], "url string, neardup_of string")
+            extracted = extracted.join(F.broadcast(flags), "url", "left")
+
         snapshot_id = extracted_tbl.commit(
             extracted.filter(F.col("status") == "ok"))
+        if bands_tbl is not None:
+            bands_tbl.commit(new_bands.withColumnRenamed("doc_id", "url"))
 
         audit = extracted.select(
             F.lit(run_id).alias("run_id"),
@@ -116,3 +157,5 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     finally:
         extracted.unpersist()
         rejected.unpersist()
+        if new_bands is not None:
+            new_bands.unpersist()

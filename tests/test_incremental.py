@@ -99,3 +99,45 @@ def test_reingest_is_noop(spark, corpus):
     novel, pairs, _ = incremental.split_batch(reingest, re_bands, idx_bands)
     assert novel.count() == 0
     assert pairs.filter("doc_id = dup_of").count() == 20
+
+
+def test_ingest_job_neardup_index(spark, tmp_path):
+    """Product surface: two ingest runs with neardup_index=True — the
+    second batch's re-crawled near-dup page is tagged with the url it
+    duplicates from batch 1, novel pages are untagged, and the band
+    index grows append-only across runs."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.run import run_extraction_job
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    out = str(tmp_path / "out")
+    pages = build_pages_df(spark, 30, with_fixtures=False)
+    r1 = run_extraction_job(spark, pages.filter("url LIKE '%/doc/1%'"),
+                            out, neardup_index=True)
+    assert r1["extracted"] > 0
+    idx1 = SnapshotTable(out + "/neardup_bands").read(spark).count()
+    assert idx1 > 0
+
+    # batch 2: novel docs (doc/2x) plus a re-crawl of doc/10's content
+    # under a NEW url (near-dup of an indexed page, different key so the
+    # url-resume filter does not skip it)
+    src_url = pages.filter("url LIKE '%/doc/10'").collect()[0].url
+    redup = (pages.filter("url LIKE '%/doc/10'")
+             .withColumn("url", F.lit("https://mirror.example/copy/10")))
+    batch2 = pages.filter("url LIKE '%/doc/2%'").unionByName(redup)
+    r2 = run_extraction_job(spark, batch2, out, neardup_index=True)
+    assert r2["extracted"] > 0
+
+    ext = SnapshotTable(out + "/resumes_extracted").read(spark)
+    tagged = {r.url: r.neardup_of for r in
+              ext.filter(F.col("neardup_of").isNotNull()).collect()}
+    assert tagged == {"https://mirror.example/copy/10": src_url}
+    idx2 = SnapshotTable(out + "/neardup_bands").read(spark).count()
+    assert idx2 > idx1  # append-only growth
+
+    # idempotent resume leaves the index untouched
+    r3 = run_extraction_job(spark, batch2, out, neardup_index=True)
+    assert r3["resumed_noop"]
+    assert SnapshotTable(out + "/neardup_bands").read(spark).count() == idx2
