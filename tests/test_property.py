@@ -95,3 +95,26 @@ def test_html_never_raises(data):
     res = extract_html(b"<html><body>" + data + b"</body></html>")
     assert isinstance(res["text"], str)
     assert isinstance(res["links"], list)
+
+
+@given(text=st.text(alphabet=st.characters(min_codepoint=9,
+                                           max_codepoint=0x2022),
+                    max_size=1500),
+       links=st.lists(st.text(max_size=40), max_size=4))
+@settings(max_examples=150, deadline=None)
+def test_map_resume_total_function(text, links):
+    """The mapper is a TOTAL function of (text, links): never raises,
+    deterministic, always canonical-schema serializable, and its
+    to_text flattening never raises either — the guarantee the
+    mapInPandas kernel stage leans on (a single poisoned document must
+    not kill a 100 TB job)."""
+    import json
+
+    from resume_parser_service_spark.kernels.resume_map import (
+        map_resume, resume_to_text)
+    from resume_parser_service_spark.schema import canonical_resume_json
+
+    m = map_resume(text, links)
+    assert map_resume(text, links) == m
+    json.dumps(canonical_resume_json(m))
+    resume_to_text(m)
