@@ -154,3 +154,48 @@ def test_shingles_build_without_joins(spark):
     n_exchange_nodes = len(re.findall(r"\(\d+\) Exchange", plan))
     # count(DISTINCT) = 2 agg exchanges, + 1 for the final sort
     assert n_exchange_nodes <= 3
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Skew defense layer 2 (beyond the salting in extract_pages): AQE's
+    OptimizeSkewedJoin splits a hot join key's oversized partition at
+    runtime. Thresholds are lowered so the planted 95%-one-key join
+    trips the optimizer at test scale; the final adaptive plan must
+    carry the skew=true marker on the sort-merge join."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") < 114_000, F.lit(0))
+             .otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("v"))
+        joined = left.join(right, "k")
+        # action on THIS DataFrame so its queryExecution carries the
+        # final adaptive plan (count() would plan a separate query)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
