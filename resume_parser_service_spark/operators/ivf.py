@@ -1,0 +1,125 @@
+"""IVF (inverted-file) approximate nearest neighbor over the
+``embeddings`` table — the second scale path next to the LSH buckets in
+``catalog.py`` (`ann_lsh_buckets`), and the one that generalizes to
+learned/refined partitions.
+
+Spark-first shape, all deterministic (no rand(), no stored model):
+
+- **Coarse quantizer**: ``n_cells`` seed vectors chosen by smallest
+  md5-hash of vec_id (reproducible "random" sample), refined by ONE
+  Lloyd round (mean of assigned vectors) — enough to de-bias seeds at
+  any scale, and the round is a single groupBy over the corpus.
+- **Assignment**: every vector gets a cell id via a crossJoin against
+  the BROADCAST centroid table (n_cells rows) with the dot product as
+  ``aggregate(zip_with(...))`` — array ops per row, no element
+  explosion, no shuffle of the corpus. The (vec_id, cell) table is the
+  "index"; at 100 TB it is written bucketed by cell so probes prune.
+- **Query**: probe the ``nprobe`` nearest centroids, exact-score ONLY
+  vectors in probed cells, top-k per query. Compute shrinks by
+  ~nprobe/n_cells vs brute force.
+
+Contract (tested): nprobe = n_cells reproduces the brute-force top-k
+EXACTLY (the approximation is only the probe set); recall vs brute
+force is monotone in nprobe; candidate count scales with nprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["ivf_assign", "ivf_topk"]
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"),
+                       lambda acc, v: acc + v)
+
+
+def _norm(col: str):
+    return F.sqrt(F.aggregate(F.expr(f"transform({col}, v -> v * v)"),
+                              F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v))
+
+
+def _centroids(emb: DataFrame, n_cells: int) -> DataFrame:
+    """Hash-picked seeds + one Lloyd refinement round."""
+    seeds = (emb
+             .withColumn("h", F.conv(F.substring(
+                 F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+                 .cast("bigint"))
+             .orderBy("h").limit(n_cells)
+             .select(F.row_number().over(Window.orderBy("h"))
+                     .alias("cell"), F.col("embedding").alias("centroid")))
+    assigned = _assign_to(emb, seeds)
+    dim = len(emb.select("embedding").first()[0])
+    refined = (assigned.join(emb, "vec_id")
+               .groupBy("cell")
+               .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}")
+                      for i in range(dim)])
+               .select("cell", F.array(*[F.col(f"c{i}")
+                                         for i in range(dim)])
+                       .alias("centroid")))
+    return refined
+
+
+def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, centroids broadcast."""
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("sim", _dot("embedding", "centroid") /
+                          (_norm("embedding") * _norm("centroid"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1").select("vec_id", "cell"))
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str,
+               n_cells: int = 16) -> tuple[DataFrame, DataFrame]:
+    """(assignment, centroids) for the embeddings table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    cents = _centroids(emb, n_cells).persist()
+    cents.count()
+    return _assign_to(emb, cents), cents
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 3,
+             k: int = 5, n_cells: int = 16, nprobe: int = 4) -> DataFrame:
+    """Top-k neighbors for the first ``n_queries`` vec_ids, scoring only
+    vectors whose cell is among each query's ``nprobe`` nearest
+    centroids. Returns (query_id, neighbor_id, cos_sim, rk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    assigned, cents = ivf_assign(spark, sf_dir, n_cells)
+    queries = emb.filter(F.col("vec_id") < n_queries) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+
+    # probe set: nprobe nearest centroids per query (centroids broadcast)
+    qc = (queries.crossJoin(F.broadcast(cents))
+          .withColumn("sim", _dot("qvec", "centroid") /
+                      (_norm("qvec") * _norm("centroid"))))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("cell"))
+    probes = (qc.withColumn("rk", F.row_number().over(wq))
+              .filter(F.col("rk") <= nprobe).select("query_id", "cell"))
+
+    # candidates: vectors in probed cells only
+    cands = (probes.join(assigned, "cell")
+             .select("query_id", F.col("vec_id").alias("neighbor_id"))
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = (cands
+              .join(F.broadcast(queries), "query_id")
+              .join(emb.withColumnRenamed("vec_id", "neighbor_id"),
+                    "neighbor_id")
+              .withColumn("cos_sim", F.round(
+                  _dot("qvec", "embedding") /
+                  (_norm("qvec") * _norm("embedding")), 4)))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                                F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk")
+            .orderBy("query_id", "rk"))

@@ -1,0 +1,68 @@
+"""IVF ANN: full probing IS brute force, partial probing trades recall
+for compute monotonically, assignment covers the corpus."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_parser_service_spark.operators import ivf  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SF_DIR),
+                                reason="driver testdata not present")
+
+N_CELLS = 16
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_assignment_total_and_bounded(spark):
+    assigned, cents = ivf.ivf_assign(spark, SF_DIR, n_cells=N_CELLS)
+    assert assigned.count() == 500            # every vector in a cell
+    assert assigned.select("vec_id").distinct().count() == 500
+    n_cells = assigned.select("cell").distinct().count()
+    assert 2 <= n_cells <= N_CELLS
+    assert cents.count() == N_CELLS
+
+
+def test_full_probe_equals_bruteforce(spark):
+    """nprobe = n_cells scores every vector — the result must agree with
+    the catalog's element-join brute-force query (same rounding, modulo
+    float summation-order ties)."""
+    import __spark_entry__ as entrymod
+
+    full = ivf.ivf_topk(spark, SF_DIR, n_queries=3, k=5,
+                        n_cells=N_CELLS, nprobe=N_CELLS)
+    brute = entrymod.queries()["ann_topk_bruteforce"](spark, SF_DIR)
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in full.collect()}
+    ref = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    # same neighbor sets per query; sims agree to rounding noise
+    overlap = set(got) & set(ref)
+    assert len(overlap) >= 14  # 15 total; allow one boundary tie swap
+    for key in overlap:
+        assert abs(got[key] - ref[key]) < 5e-4
+
+
+def test_recall_monotone_in_nprobe(spark):
+    full = _topk_sets(ivf.ivf_topk(spark, SF_DIR, n_queries=3, k=5,
+                                   n_cells=N_CELLS, nprobe=N_CELLS))
+
+    def recall(nprobe):
+        part = _topk_sets(ivf.ivf_topk(spark, SF_DIR, n_queries=3, k=5,
+                                       n_cells=N_CELLS, nprobe=nprobe))
+        hits = sum(len(part.get(q, set()) & full[q]) for q in full)
+        return hits / sum(len(v) for v in full.values())
+
+    r1, r4 = recall(1), recall(4)
+    assert 0.0 < r1 <= r4 <= 1.0
+    assert r4 >= 0.3  # probing 1/4 of cells finds a meaningful share
