@@ -26,8 +26,9 @@ left-to-right; run advances come from parsed glyph widths (/Widths,
 CIDFont /W) and runs within a line are joined with a space iff the
 residual x-gap exceeds 0.20 * font size; two-column pages (detected by
 an uncovered >=18pt vertical gutter with >=15% of runs on each side)
-are emitted left column then right column; lines joined with "\n",
-pages joined with "\n\n".
+are emitted left column then right column, except that a line
+containing a gutter-crossing run (a full-width header) is kept whole;
+lines joined with "\n", pages joined with "\n\n".
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.5.0"
+KERNEL_VERSION = "pdf-1.6.0"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -1325,8 +1326,19 @@ def _assemble_text(runs: list[tuple]) -> str:
         return ""
     gutter = _find_gutter(runs)
     if gutter is not None:
-        left = [r for r in runs if r[0] < gutter]
-        right = [r for r in runs if r[0] >= gutter]
+        # full-width lines (a name header spanning both columns — the
+        # crossing runs _find_gutter tolerates) must not be cut at the
+        # gutter: every y-band containing a gutter-crossing run is kept
+        # whole on the left side so the line reassembles intact
+        sizes = sorted(r[2] for r in runs if r[2] > 0) or [10.0]
+        tol = max(1.0, 0.4 * sizes[len(sizes) // 2])
+        cross_ys = [r[1] for r in runs if r[0] < gutter < r[0] + r[4]]
+
+        def spans_full(y: float) -> bool:
+            return any(abs(y - cy) <= tol for cy in cross_ys)
+
+        left = [r for r in runs if r[0] < gutter or spans_full(r[1])]
+        right = [r for r in runs if r[0] >= gutter and not spans_full(r[1])]
         if left and right:
             return (_assemble_column(left) + "\n" +
                     _assemble_column(right))
