@@ -10,7 +10,8 @@ vectorizes cleanly over Arrow batches of ``html:binary``.
 Output contract (total, version-frozen; bump KERNEL_VERSION on change):
 kept blocks are emitted in document order; within a block, whitespace
 runs collapse to a single space and the block is stripped; blocks are
-joined with "\n". Entities (named core set + numeric) are decoded.
+joined with "\n". Entities are decoded: numeric, the frozen core named
+set, and the full HTML5 named table (stdlib data) as fallback.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import re
 
 __all__ = ["extract_html", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "html-1.2.0"
+KERNEL_VERSION = "html-1.3.0"
 
 # Containers whose entire subtree is boilerplate.
 _BOILERPLATE = {"nav", "header", "footer", "aside", "form", "menu",
@@ -103,7 +104,13 @@ def _unescape(text: str) -> str:
                 return chr(code)
             except (ValueError, OverflowError):
                 return m.group(0)
-        return _ENTITIES.get(e, m.group(0))
+        got = _ENTITIES.get(e)
+        if got is None:
+            # full HTML5 named-entity table (stdlib, version-frozen
+            # data): &eacute; &uuml; &szlig; ... — real crawls use them
+            from html.entities import html5
+            got = html5.get(e + ";")
+        return got if got is not None else m.group(0)
     return _ENT_RE.sub(sub, text)
 
 

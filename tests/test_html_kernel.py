@@ -130,3 +130,18 @@ def test_hinted_paragraph_stays_text():
             b"enough to keep</p></body></html>")
     assert extract_html(html)["text"] == ("a paragraph long enough "
                                           "to keep")
+
+
+def test_html5_named_entities_decoded():
+    """Core entity table first (frozen), full stdlib HTML5 table as
+    fallback — real crawls use &eacute;-style names; unknown names pass
+    through untouched."""
+    from resume_parser_service_spark.kernels.html_text import extract_html
+
+    h = (b"<html><body><p>Fish &amp; Chips caf&eacute; stra&szlig;e "
+         b"&uuml;ber &notanentity; &#233;</p></body></html>")
+    t = extract_html(h)["text"]
+    assert "Fish & Chips" in t
+    assert "café" in t and "straße" in t and "über" in t
+    assert "&notanentity;" in t
+    assert "é" in t
