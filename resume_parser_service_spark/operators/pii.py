@@ -1,0 +1,58 @@
+"""PII scrubbing for training-corpus export: emails, phone numbers and
+IPv4 addresses replaced by stable placeholder tokens.
+
+JVM-side ``regexp_replace`` chains — whole-stage-codegen'd, zero
+Python, zero shuffle; the scrub is a pure per-row map that rides the
+scan at any scale. Patterns stay in the common RE2/Java-regex subset
+(no backreferences, no lookarounds) so the SAME pattern strings run on
+Spark (Java regex) and DuckDB (RE2) for oracle parity.
+
+Scope note (deliberate): pattern-based scrubbing catches the
+high-volume mechanical PII classes. Names/addresses need NER-class
+models — out of scope without model libs, and the reference service
+(which emails around full resumes) has no scrubbing at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "scrub_pii_col", "scrub_pii_sql"]
+
+# order matters: emails before phones (digits inside an email local
+# part must not be half-eaten by the phone pattern)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4",
+     r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+     "<IP>"),
+    ("phone",
+     r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}[ .-]\d{3}[ .-]\d{3,6}",
+     "<PHONE>"),
+]
+
+
+def scrub_pii_col(col: str) -> Column:
+    """Column expression applying every PII pattern in order."""
+    out = F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii_sql(col: str, dialect: str) -> str:
+    """The same chain as SQL text. Dialect quirks handled here: Spark
+    SQL string literals eat backslashes (double them), and DuckDB's
+    regexp_replace is first-match-only without the 'g' flag (Spark's is
+    always global)."""
+    expr = col
+    for _, pat, repl in PII_PATTERNS:
+        if dialect == "spark":
+            pat_sql, flags = pat.replace("\\", "\\\\"), ""
+        else:
+            pat_sql, flags = pat, ", 'g'"
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}'{flags})"
+    return expr

@@ -1,0 +1,98 @@
+"""Decontamination (eval-set n-gram collisions) and PII scrubbing:
+planted cases caught, clean docs untouched, DuckDB parity, and the
+broadcast/no-corpus-shuffle plan shape."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_parser_service_spark.operators import decontaminate, pii  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SF_DIR),
+                                reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def corpus_and_eval(spark):
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    # eval set: one benchmark question that verbatim-quotes an 8-gram
+    # from doc 7, plus a fully novel question
+    doc7 = corpus.filter("doc_id = 7").first().text
+    quoted = " ".join(doc7.split()[3:14])
+    eval_docs = spark.createDataFrame(
+        [(9000, f"Q: complete the passage: {quoted}"),
+         (9001, "Q: what is the boiling point of molybdenum alloys")],
+        "doc_id long, text string")
+    return corpus, eval_docs, quoted
+
+
+def test_contamination_catches_planted_overlap(spark, corpus_and_eval):
+    corpus, eval_docs, _ = corpus_and_eval
+    hits = decontaminate.contaminated_docs(spark, corpus, eval_docs, n=8)
+    got = {r.doc_id: r.n_hits for r in hits.collect()}
+    assert 7 in got and got[7] >= 1
+    # the synthetic docs are generated from a shared vocabulary — other
+    # docs may legitimately collide, but doc 7 must carry the most hits
+    assert got[7] == max(got.values())
+
+
+def test_contamination_plan_broadcasts_eval(spark, corpus_and_eval):
+    corpus, eval_docs, _ = corpus_and_eval
+    plan = (decontaminate.contaminated_docs(spark, corpus, eval_docs, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_contamination_duckdb_parity(spark, corpus_and_eval):
+    corpus, eval_docs, _ = corpus_and_eval
+    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").createOrReplaceTempView("documents")
+    eval_docs.createOrReplaceTempView("eval_docs")
+    sdf = spark.sql(decontaminate.contaminated_docs_sql("spark")) \
+        .toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    con.register("eval_docs", eval_docs.toPandas())
+    odf = con.execute(decontaminate.contaminated_docs_sql("duck")).df()
+    assert list(sdf["doc_id"]) == list(odf["doc_id"])
+    assert list(sdf["n_hits"].astype("int64")) == \
+        list(odf["n_hits"].astype("int64"))
+
+
+def test_pii_scrub_column_and_sql_parity(spark):
+    rows = [
+        (1, "reach me at jane.doe+spam@example.co.uk or +353 87 123 4567"),
+        (2, "server 192.168.10.250 answered"),
+        (3, "no pii here, just 42 words and v1.2 versions"),
+        (4, "call (089) 555-123 456 today"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.clean for r in
+           df.select("id", pii.scrub_pii_col("text").alias("clean"))
+           .collect()}
+    assert "<EMAIL>" in out[1] and "@" not in out[1]
+    assert "<PHONE>" in out[1]
+    assert out[2] == "server <IP> answered"
+    assert out[3] == rows[2][1]          # untouched
+    assert "<PHONE>" in out[4]
+
+    # SQL emission matches the Column API on Spark, and DuckDB matches
+    df.createOrReplaceTempView("_pii_rows")
+    sql_out = {r.id: r.clean for r in spark.sql(
+        f"SELECT id, {pii.scrub_pii_sql('text', 'spark')} AS clean "
+        f"FROM _pii_rows").collect()}
+    assert sql_out == out
+    con = duckdb.connect()
+    con.register("_pii_rows", df.toPandas())
+    duck_out = dict(con.execute(
+        f"SELECT id, {pii.scrub_pii_sql('text', 'duck')} AS clean "
+        f"FROM _pii_rows").fetchall())
+    assert duck_out == out
