@@ -40,8 +40,8 @@ def export_training_corpus(enriched: DataFrame, path: str,
                            min_stopword_ratio: float = 0.0,
                            drop_content_dups: bool = True,
                            partitions: int | None = None,
-                           split_weights: dict[str, float] | None = None
-                           ) -> dict:
+                           split_weights: dict[str, float] | None = None,
+                           scrub_pii: bool = False) -> dict:
     """Quality-filtered, content-deduplicated training corpus export
     over an ``enrich_extracted`` frame — the standard LLM-data shape:
     drop non-canonical content duplicates, too-short docs, and
@@ -54,7 +54,9 @@ def export_training_corpus(enriched: DataFrame, path: str,
     additionally tags each row with a deterministic url-hash split
     (operators.sampling semantics: disjoint, exhaustive, stable under
     corpus growth) and writes one directory per split
-    (``split=train/``...); per-split counts are added to the stats."""
+    (``split=train/``...); per-split counts are added to the stats.
+    ``scrub_pii=True`` replaces emails/phones/IPv4 in the exported text
+    with placeholder tokens (the committed table keeps original bytes)."""
     base = enriched.filter(F.col("status") == "ok")
     keep = base.filter(
         (F.col("ws_tokens") >= min_tokens) &
@@ -67,6 +69,12 @@ def export_training_corpus(enriched: DataFrame, path: str,
         from ..operators.sampling import split_case_expr
         keep = keep.withColumn(
             "split", F.expr(split_case_expr("spark", "url", split_weights)))
+    if scrub_pii:
+        # emails/phones/IPv4 -> placeholders (operators.pii), applied to
+        # the exported text only — the committed table keeps the
+        # original bytes (byte-identity contract)
+        from ..operators.pii import scrub_pii_col
+        keep = keep.withColumn("text", scrub_pii_col("text"))
     keep = keep.persist()
     try:
         n_keep = keep.count()

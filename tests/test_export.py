@@ -108,3 +108,44 @@ def test_export_training_corpus_splits(spark, tmp_path):
         enriched, str(tmp_path / "corpus2"), min_tokens=5,
         split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
     assert stats2["splits"] == stats["splits"]
+
+
+def test_export_training_corpus_pii_scrub(spark, tmp_path):
+    """scrub_pii=True: exported text carries placeholders, committed
+    rows keep original bytes."""
+    import glob
+    import gzip
+    import json
+
+    from resume_parser_service_spark.pipeline.export import (
+        export_training_corpus)
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted, extract_pages)
+    from resume_parser_service_spark.sources.pages import build_pages_df
+    from pyspark.sql import functions as F
+
+    pages = build_pages_df(spark, 20, with_fixtures=False)
+    # plant an email into one page's html body text
+    pages = pages.withColumn(
+        "html",
+        F.when(F.col("url").endswith("/doc/3"),
+               F.to_binary(F.concat(
+                   F.regexp_replace(F.col("html").cast("string"),
+                                    "</body>",
+                                    "<p>contact me: jane@example.com "
+                                    "or +353 87 123 4567</p></body>")),
+                   F.lit("utf-8")))
+        .otherwise(F.col("html")))
+    extracted, _ = extract_pages(pages)
+    enriched = enrich_extracted(extracted)
+    out = str(tmp_path / "scrubbed")
+    export_training_corpus(enriched, out, min_tokens=5, scrub_pii=True)
+    lines = []
+    for f in glob.glob(out + "/*.txt.gz"):
+        lines += gzip.open(f, "rt").read().splitlines()
+    blob = "\n".join(lines)
+    assert "<EMAIL>" in blob and "jane@example.com" not in blob
+    assert "<PHONE>" in blob
+    # committed (pre-export) rows keep the original bytes
+    assert enriched.filter(
+        F.col("text").contains("jane@example.com")).count() == 1
