@@ -104,6 +104,28 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         qtimes[name] = round(sorted(walls)[len(walls) // 2], 3)
 
+    # training-pipeline operators outside the 50-query driver catalog
+    # (sampling / split / decontamination) — timed the same way
+    from resume_parser_service_spark.operators import (decontaminate,
+                                                       sampling)
+
+    def _extra(name, thunk):
+        walls = []
+        for _ in range(q_runs):
+            t0 = time.perf_counter()
+            thunk().count()
+            walls.append(time.perf_counter() - t0)
+        qtimes[name] = round(sorted(walls)[len(walls) // 2], 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    eval_docs = docs.filter("doc_id % 97 = 0")
+    _extra("sample_fraction",
+           lambda: sampling.sample_fraction(spark, sf_dir, 0.05))
+    _extra("hash_split", lambda: sampling.hash_split(spark, sf_dir))
+    _extra("decontaminate",
+           lambda: decontaminate.contaminated_docs(spark, docs, eval_docs))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "extraction_pipeline_wall_sec",
