@@ -51,17 +51,21 @@ def test_contamination_plan_broadcasts_eval(spark, corpus_and_eval):
 
 
 def test_contamination_duckdb_parity(spark, corpus_and_eval):
+    # NB: keep distinct view names — overriding the shared "documents"
+    # temp view would leak a 2-column shadow into the other suites via
+    # register_views' per-session cache
     corpus, eval_docs, _ = corpus_and_eval
     spark.read.parquet(f"{SF_DIR}/documents.parquet") \
-        .select("doc_id", "text").createOrReplaceTempView("documents")
-    eval_docs.createOrReplaceTempView("eval_docs")
-    sdf = spark.sql(decontaminate.contaminated_docs_sql("spark")) \
-        .toPandas()
+        .select("doc_id", "text").createOrReplaceTempView("_decon_docs")
+    eval_docs.createOrReplaceTempView("_decon_eval")
+    sdf = spark.sql(decontaminate.contaminated_docs_sql(
+        "spark", table="_decon_docs", eval_table="_decon_eval")).toPandas()
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+    con.execute(f"CREATE VIEW _decon_docs AS SELECT doc_id, text FROM "
                 f"'{SF_DIR}/documents.parquet'")
-    con.register("eval_docs", eval_docs.toPandas())
-    odf = con.execute(decontaminate.contaminated_docs_sql("duck")).df()
+    con.register("_decon_eval", eval_docs.toPandas())
+    odf = con.execute(decontaminate.contaminated_docs_sql(
+        "duck", table="_decon_docs", eval_table="_decon_eval")).df()
     assert list(sdf["doc_id"]) == list(odf["doc_id"])
     assert list(sdf["n_hits"].astype("int64")) == \
         list(odf["n_hits"].astype("int64"))
