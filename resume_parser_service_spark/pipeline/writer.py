@@ -361,6 +361,34 @@ class SnapshotTable:
             expired.append(s["id"])
         return expired
 
+    def remove_orphans(self, older_than_s: float = 0.0) -> list[str]:
+        """Delete data directories referenced by NO snapshot manifest —
+        the debris of crashed commits (``commit`` writes data fully
+        before the manifest appears, so a crash between the two leaves a
+        complete but invisible dir that would sit there forever).
+        Iceberg ``remove_orphan_files`` semantics, incl. the age guard:
+        only dirs older than ``older_than_s`` are removed, so a commit
+        in flight right now (data written, manifest microseconds away)
+        is never swept. Returns the removed relative paths."""
+        import shutil
+        import time as _time
+        referenced = {s["path"] for s in self.snapshots()}
+        data_root = os.path.join(self.root, "data")
+        removed: list[str] = []
+        if not os.path.isdir(data_root):
+            return removed
+        now = _time.time()
+        for d in sorted(os.listdir(data_root)):
+            rel = f"data/{d}"
+            full = os.path.join(data_root, d)
+            if rel in referenced or not os.path.isdir(full):
+                continue
+            if now - os.path.getmtime(full) < older_than_s:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
+        return removed
+
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:
         df = self.read(spark)
         return df.select(self.key_col).distinct() if df is not None else None

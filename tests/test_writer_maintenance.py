@@ -171,3 +171,39 @@ def test_compact_binpacks_file_count(spark, tmp_path):
         len(s.get("files") or []) for s in tbl.live_snapshots())
     assert n_files_after == 1
     assert tbl.read_current(spark).count() == 120
+
+
+def test_remove_orphans_sweeps_crashed_commit_only(spark, tmp_path):
+    """A crashed commit's manifest-less data dir is swept; committed
+    data and in-flight (young) dirs survive; reads are unaffected."""
+    import os
+    import time
+
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+
+    root = str(tmp_path / "tbl")
+    tbl = SnapshotTable(root)
+    df = spark.range(0, 20).selectExpr("cast(id as string) AS url",
+                                       "id AS v")
+    tbl.commit(df)
+
+    # simulate a crash between data write and manifest publish
+    dead = os.path.join(root, "data", "snap-000099-deadbeef")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    old = time.time() - 3600
+    os.utime(dead, (old, old))
+    # and one "in-flight" dir younger than the age guard
+    fresh = os.path.join(root, "data", "snap-000100-aaaaaaaa")
+    os.makedirs(fresh)
+
+    removed = tbl.remove_orphans(older_than_s=60)
+    assert removed == ["data/snap-000099-deadbeef"]
+    assert not os.path.exists(dead)
+    assert os.path.exists(fresh)          # age guard held
+    assert tbl.read(spark).count() == 20  # committed data untouched
+
+    # second sweep with no age guard clears the stale in-flight dir too
+    os.utime(fresh, (old, old))
+    assert tbl.remove_orphans() == ["data/snap-000100-aaaaaaaa"]
