@@ -100,3 +100,44 @@ def test_pii_scrub_column_and_sql_parity(spark):
         f"SELECT id, {pii.scrub_pii_sql('text', 'duck')} AS clean "
         f"FROM _pii_rows").fetchall())
     assert duck_out == out
+
+
+URL_CASES = [
+    ("HTTPS://Example.COM:443/KeepCase/Path?b=2&utm_source=x#frag",
+     "https://example.com/KeepCase/Path?b=2"),
+    ("http://X.org:80/", "http://x.org/"),
+    ("http://a.b/p?utm_a=1&utm_b=2", "http://a.b/p"),
+    ("https://a.b/p?gclid=99&q=1", "https://a.b/p?q=1"),
+    ("https://a.b/p?q=1&fbclid=zz", "https://a.b/p?q=1"),
+    ("http://plain.example/doc/7", "http://plain.example/doc/7"),
+    ("no-scheme.example/Path#x", "no-scheme.example/Path"),
+    ("http://host:8080/keep-nondefault-port", 
+     "http://host:8080/keep-nondefault-port"),
+]
+
+
+def test_url_canonicalization_three_way_parity(spark):
+    """Column API == Spark SQL == DuckDB on the canonicalization table;
+    host case folds, path case kept, default ports and tracking params
+    dropped, non-default ports kept."""
+    from resume_parser_service_spark.operators import urlnorm
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)],
+        "id long, url string")
+    expected = [e for _, e in URL_CASES]
+    col_out = [r.c for r in df.select(
+        urlnorm.canonical_url_col("url").alias("c")).orderBy("id")
+        .collect()]
+    assert col_out == expected
+    df.createOrReplaceTempView("_urls")
+    sql_out = [r.c for r in spark.sql(
+        f"SELECT id, {urlnorm.canonical_url_sql('url', 'spark')} AS c "
+        f"FROM _urls ORDER BY id").collect()]
+    assert sql_out == expected
+    con = duckdb.connect()
+    con.register("_urls", df.toPandas())
+    duck_out = [r[0] for r in con.execute(
+        f"SELECT {urlnorm.canonical_url_sql('url', 'duck')} AS c "
+        f"FROM _urls ORDER BY id").fetchall()]
+    assert duck_out == expected
