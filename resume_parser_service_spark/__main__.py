@@ -21,6 +21,8 @@ Subcommands via flags:
                    (fingerprint, content-dup, tokens, quality, lang)
   --neardup-index  maintain an append-only MinHash band index across
                    runs and tag rows near-duplicating earlier batches
+  --canonical-urls canonicalize urls (case/ports/utm/fragments) before
+                   dedup and resume
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-after", type=int, default=None)
     p.add_argument("--enrich", action="store_true")
     p.add_argument("--neardup-index", action="store_true")
+    p.add_argument("--canonical-urls", action="store_true")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -71,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
                                salt_input=args.salt_input,
                                compact_after=args.compact_after,
                                enrich=args.enrich,
-                               neardup_index=args.neardup_index)
+                               neardup_index=args.neardup_index,
+                               canonicalize_urls=args.canonical_urls)
     print(json.dumps(stats))
     return 0
 

@@ -31,7 +31,8 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                        salt_input: bool = False,
                        compact_after: int | None = None,
                        enrich: bool = False,
-                       neardup_index: bool = False) -> dict:
+                       neardup_index: bool = False,
+                       canonicalize_urls: bool = False) -> dict:
     """Run (or resume) extraction of ``pages`` into tables under
     ``out_root``: ``resumes_extracted`` + ``extraction_audit``.
     Re-running with the same input is a no-op (idempotent resume).
@@ -56,10 +57,23 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     rewritten — each run appends only the new batch's bands — so the
     cost of dedup against a 100 TB corpus is one broadcast of the
     batch's signatures against a streamed index scan
-    (``operators.incremental``)."""
+    (``operators.incremental``).
+
+    ``canonicalize_urls=True``: canonicalize urls (operators.urlnorm)
+    before dedup/resume so trivial variants (host case, default ports,
+    utm params, fragments) share one identity key."""
     extracted_tbl = SnapshotTable(os.path.join(out_root, "resumes_extracted"))
     audit_tbl = SnapshotTable(os.path.join(out_root, "extraction_audit"))
     run_id = uuid.uuid4().hex[:12]
+
+    if canonicalize_urls:
+        # crawl-dedup pre-step (operators.urlnorm): fold url variants
+        # (host case, default ports, tracking params, fragments) into
+        # ONE identity key BEFORE the latest-wins dedup and the audit
+        # resume anti-join — variants then collapse to a single
+        # extraction instead of committing as distinct documents
+        from ..operators.urlnorm import canonical_url_col
+        pages = pages.withColumn("url", canonical_url_col("url"))
 
     # resume point: urls already processed (ok, error or rejected)
     todo = audit_tbl.resume_filter(spark, pages)

@@ -237,3 +237,34 @@ def test_run_extraction_job_enrich(spark, tmp_path):
         assert col in cur.columns, col
     row = cur.filter("status = 'ok'").limit(1).collect()[0]
     assert row["fingerprint"] is not None and row["ws_tokens"] > 0
+
+
+def test_canonicalize_urls_collapses_variants(spark, tmp_path):
+    """canonicalize_urls=True: tracking-param/case variants of one page
+    collapse to a single committed row under the canonical key, and a
+    re-run presenting another variant resumes as a no-op."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.run import run_extraction_job
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    out = str(tmp_path / "canon")
+    pages = build_pages_df(spark, 10, with_fixtures=False)
+    # add a tracking-param variant of every url
+    variants = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=feed"))) \
+        .withColumn("warc_ts",
+                    F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    both = pages.unionByName(variants)
+    r1 = run_extraction_job(spark, both, out, canonicalize_urls=True)
+    ext = SnapshotTable(out + "/resumes_extracted").read(spark)
+    urls = [r.url for r in ext.select("url").collect()]
+    assert len(urls) == len(set(urls))
+    assert not any("utm_" in u for u in urls)
+    assert r1["extracted"] == len(urls)  # one row per canonical url
+
+    # re-run with ONLY the variant spelling: resume filter sees the
+    # canonical key as already processed -> no-op
+    r2 = run_extraction_job(spark, variants, out, canonicalize_urls=True)
+    assert r2["resumed_noop"]
