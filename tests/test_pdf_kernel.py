@@ -238,3 +238,68 @@ def test_encrypted_pdf_raises_pdferror():
     assert enc != pdf
     with pytest.raises(PdfError, match="encrypted"):
         extract_pdf(enc)
+
+
+def _mini_pdf(objects: dict[int, bytes]) -> bytes:
+    """Hand-rolled classic-xref PDF from {obj_num: body} (adversarial
+    fixtures the generator would never emit)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objects) + 1
+    out += b"xref\n0 %d\n" % maxn
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxn):
+        out += (b"%010d 00000 n \n" % offsets[num]
+                if num in objects else b"0000000000 65535 f \n")
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (maxn, xref_at))
+    return bytes(out)
+
+
+def test_cyclic_page_tree_terminates():
+    """A /Pages node whose Kids point back at an ancestor must not hang
+    or loop — the seen-set cuts the cycle."""
+    pdf = _mini_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>",
+    })
+    r = extract_pdf(pdf)
+    assert r["n_pages"] == 1
+
+
+def test_self_referential_object_terminates():
+    """An indirect-reference loop (A -> B -> A) resolves to a bounded
+    fixpoint instead of spinning."""
+    pdf = _mini_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/MediaBox [0 0 612 792] >>",
+        4: b"5 0 R",
+        5: b"4 0 R",
+    })
+    r = extract_pdf(pdf)  # no text, but no hang and no crash
+    assert r["n_pages"] == 1 and r["text"] == ""
+
+
+def test_self_invoking_xobject_bounded():
+    """A Form XObject whose content invokes itself recurses at most to
+    the depth cap, then stops."""
+    pdf = _mini_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /XObject << /F1 5 0 R >> >> "
+           b"/MediaBox [0 0 612 792] >>",
+        4: b"<< /Length 9 >>\nstream\n/F1 Do \nendstream",
+        5: b"<< /Type /XObject /Subtype /Form /Length 9 "
+           b"/Resources << /XObject << /F1 5 0 R >> >> >>\n"
+           b"stream\n/F1 Do \nendstream",
+    })
+    r = extract_pdf(pdf)
+    assert r["n_pages"] == 1  # terminates; nothing to extract
