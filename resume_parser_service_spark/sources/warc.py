@@ -22,7 +22,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "parse_warc", "make_warc"]
+__all__ = ["read_warc", "read_wet", "parse_warc", "make_warc",
+           "make_wet"]
 
 _HDR_RE = re.compile(rb"^([A-Za-z0-9\-]+):[ \t]*(.*?)\r?$")
 
@@ -36,9 +37,14 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return out
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Parse WARC bytes into response-record dicts
-    (url, warc_ts, payload). Tolerates gzip (multi-member) framing."""
+def parse_warc(data: bytes,
+               record_types: tuple = (b"response",)) -> list[dict]:
+    """Parse WARC bytes into record dicts (url, warc_ts, payload).
+    Tolerates gzip (multi-member) framing. ``record_types`` selects
+    which WARC record types to keep: ``response`` records carry raw
+    HTTP wire bytes (stripped + de-transport-coded below); WET files'
+    ``conversion`` records carry already-extracted plain text, kept
+    verbatim."""
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
@@ -62,7 +68,8 @@ def parse_warc(data: bytes) -> list[dict]:
             length = 0
         body = data[hdr_end + 4:hdr_end + 4 + length]
         pos = hdr_end + 4 + length
-        if headers.get(b"warc-type") != b"response":
+        rec_type = headers.get(b"warc-type")
+        if rec_type not in record_types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
@@ -71,10 +78,11 @@ def parse_warc(data: bytes) -> list[dict]:
                 .replace(tzinfo=timezone.utc)
         except ValueError:
             ts = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        # body is an HTTP response: strip the HTTP header block and undo
-        # transport encodings (RFC 9112 chunked framing, gzip content
-        # coding) — crawl WARCs store the raw wire bytes
-        http_end = body.find(b"\r\n\r\n")
+        # body of a response record is an HTTP response: strip the HTTP
+        # header block and undo transport encodings (RFC 9112 chunked
+        # framing, gzip content coding) — crawl WARCs store the raw
+        # wire bytes. Conversion (WET) records are the payload itself.
+        http_end = body.find(b"\r\n\r\n") if rec_type == b"response" else -1
         if http_end >= 0:
             http_hdrs = _parse_headers(body[:http_end])
             payload = body[http_end + 4:]
@@ -161,5 +169,63 @@ def make_warc(records: list[dict], compress: bool = False) -> bytes:
                b"Content-Type: application/http; msgtype=response\r\n"
                b"Content-Length: %d\r\n\r\n" % len(http))
         out += hdr + http + b"\r\n\r\n"
+    data = bytes(out)
+    return gzip.compress(data, 9) if compress else data
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Load WET files (Common Crawl's pre-extracted plain-text sibling
+    of WARC: ``conversion`` records, text/plain payloads) as a
+    documents-style frame (url, warc_ts, text, lang=null).
+
+    WET rows skip the extraction kernel entirely — they feed the
+    analysis/dedup/quality operators directly, which is how most
+    text-pipeline runs over Common Crawl actually start. Same
+    binaryFile + mapInPandas shape as ``read_warc``: one Arrow batch
+    per file group, corrupt containers fail soft to zero records."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.wet*").load(path) \
+        .select("path", "content")
+
+    def explode_records(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc(bytes(content),
+                                      record_types=(b"conversion",)):
+                    rows.append({
+                        "url": rec["url"], "warc_ts": rec["warc_ts"],
+                        "text": rec["payload"].decode("utf-8", "replace"),
+                        "lang": None})
+            out = pd.DataFrame(rows,
+                               columns=["url", "warc_ts", "text", "lang"])
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True) \
+                    .dt.tz_localize(None)
+            yield out
+
+    return files.mapInPandas(
+        explode_records,
+        schema="url string, warc_ts timestamp, text string, lang string")
+
+
+def make_wet(records: list[dict], compress: bool = False) -> bytes:
+    """Deterministic WET writer for fixtures: each record needs
+    url (str), warc_ts (datetime), text (str)."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        payload = rec["text"].encode("utf-8")
+        hdr = (b"WARC/1.0\r\n"
+               b"WARC-Type: conversion\r\n"
+               b"WARC-Record-ID: <urn:uuid:wet-%08d>\r\n" % i +
+               b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n" +
+               b"WARC-Date: " +
+               rec["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode() +
+               b"\r\n"
+               b"Content-Type: text/plain\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(payload))
+        out += hdr + payload + b"\r\n\r\n"
     data = bytes(out)
     return gzip.compress(data, 9) if compress else data

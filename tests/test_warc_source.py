@@ -106,3 +106,45 @@ def test_parse_warc_garbage_fails_soft():
             assert isinstance(parse_warc(payload), list)
 
     check()
+
+
+def test_wet_roundtrip_and_response_isolation(spark, tmp_path):
+    """WET conversion records round-trip through read_wet; response
+    records in the same container are ignored (and vice versa for
+    read_warc); gzip framing transparent."""
+    import datetime as dt
+    import os
+
+    from resume_parser_service_spark.sources.warc import (make_warc,
+                                                          make_wet,
+                                                          parse_warc)
+    from resume_parser_service_spark.sources.warc import read_wet
+
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    recs = [{"url": f"https://wet.example/doc/{i}", "warc_ts": ts,
+             "text": f"extracted text body {i} with unicode café"}
+            for i in range(5)]
+    wet_dir = str(tmp_path / "wet")
+    os.makedirs(wet_dir)
+    with open(os.path.join(wet_dir, "part-0.wet.gz"), "wb") as fh:
+        fh.write(make_wet(recs, compress=True))
+    with open(os.path.join(wet_dir, "part-1.wet"), "wb") as fh:
+        fh.write(make_wet(recs[:2]))
+
+    df = read_wet(spark, wet_dir)
+    rows = {(r.url, r.text) for r in df.collect()}
+    assert len(rows) == 5  # part-1 urls overlap part-0's first two
+    assert ("https://wet.example/doc/3",
+            "extracted text body 3 with unicode café") in rows
+    assert df.schema.simpleString() == \
+        "struct<url:string,warc_ts:timestamp,text:string,lang:string>"
+
+    # response records are invisible to the conversion parse and
+    # conversion records invisible to the response parse
+    mixed = make_warc([{"url": "https://resp.example/x", "warc_ts": ts,
+                        "payload": b"<html><body>hi</body></html>"}]) + \
+        make_wet(recs[:1])
+    conv = parse_warc(mixed, record_types=(b"conversion",))
+    resp = parse_warc(mixed)
+    assert [r["url"] for r in conv] == ["https://wet.example/doc/0"]
+    assert [r["url"] for r in resp] == ["https://resp.example/x"]
