@@ -141,3 +141,38 @@ def test_url_canonicalization_three_way_parity(spark):
         f"SELECT {urlnorm.canonical_url_sql('url', 'duck')} AS c "
         f"FROM _urls ORDER BY id").fetchall()]
     assert duck_out == expected
+
+
+def test_repetition_signals_parity_and_planted_spam(spark):
+    """Gopher-style repetition signals: DuckDB parity on the testdata
+    documents plus a planted spam doc with known exact fractions."""
+    import pandas as pd
+
+    from resume_parser_service_spark.operators.catalog import register_views
+    from resume_parser_service_spark.operators import quality
+
+    register_views(spark, SF_DIR)
+    sdf = spark.sql(quality.repetition_signals_sql("spark")).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    odf = con.execute(quality.repetition_signals_sql("duck")).df()
+    for df in (sdf, odf):
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+    pd.testing.assert_frame_equal(sdf.reset_index(drop=True),
+                                  odf.reset_index(drop=True),
+                                  check_dtype=False)
+
+    # planted spam: 4 lines, 2 dup ("buy now"); bigrams of
+    # "buy now buy now buy now" -> 5 occurrences, top=("buy now" 3x...)
+    spam = spark.createDataFrame(
+        [(1, "buy now buy now buy now\nunique line\nbuy now buy now buy now\nother")],
+        "doc_id long, text string")
+    spam.createOrReplaceTempView("_spam_docs")
+    row = spark.sql(quality.repetition_signals_sql(
+        "spark", table="_spam_docs")).collect()[0]
+    assert row.dup_line_fraction == 0.25          # 1 of 4 lines repeated
+    assert row.top_bigram_fraction > 0.3          # dominated by one bigram
+    assert row.dup_bigram_fraction > 0.3
