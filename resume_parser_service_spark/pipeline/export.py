@@ -38,6 +38,7 @@ def export_training_corpus(enriched: DataFrame, path: str,
                            min_tokens: int = 10,
                            max_punct_ratio: float = 0.3,
                            min_stopword_ratio: float = 0.0,
+                           max_dup_line_fraction: float = 1.0,
                            drop_content_dups: bool = True,
                            partitions: int | None = None,
                            split_weights: dict[str, float] | None = None,
@@ -63,6 +64,11 @@ def export_training_corpus(enriched: DataFrame, path: str,
         (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= max_punct_ratio) &
         (F.coalesce(F.col("stopword_ratio"), F.lit(1.0))
          >= min_stopword_ratio))
+    if max_dup_line_fraction < 1.0 and \
+            "dup_line_fraction" in keep.columns:
+        # Gopher-style repetition gate (enrich_extracted annotation)
+        keep = keep.filter(F.coalesce(F.col("dup_line_fraction"),
+                                      F.lit(0.0)) <= max_dup_line_fraction)
     if drop_content_dups:
         keep = keep.filter(F.col("content_dup_of").isNull())
     if split_weights:

@@ -216,6 +216,9 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
     - ``ws_tokens`` / ``bpe_est_tokens``: whitespace + ~4-chars/token
     - ``stopword_ratio`` / ``punct_ratio`` / ``mean_token_len``
     - ``lang_guess``: stopword-vote language id
+    - ``dup_line_fraction`` / ``dup_bigram_fraction``: Gopher-style
+      repetition signals as per-row array expressions (same values as
+      ``operators.quality.repetition_signals``, zero extra shuffle)
     """
     toks = F.split(F.col("text"), " ")
 
@@ -250,7 +253,18 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
            .withColumn("lang_guess",
                        F.when(best == 0, "und")
                         .when(best == en, "en").when(best == it, "it")
-                        .when(best == de, "de").otherwise("es")))
+                        .when(best == de, "de").otherwise("es"))
+           .withColumn("dup_line_fraction", F.expr(
+               "round(cast(size(split(text, '\\n')) - "
+               "size(array_distinct(split(text, '\\n'))) as double) "
+               "/ size(split(text, '\\n')), 6)"))
+           .withColumn("dup_bigram_fraction", F.expr(
+               "round(CASE WHEN size(split(text, ' ')) >= 2 THEN "
+               "cast(size(split(text, ' ')) - 1 - size(array_distinct("
+               "transform(sequence(0, size(split(text, ' ')) - 2), "
+               "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)"
+               ")))) as double) / (size(split(text, ' ')) - 1) "
+               "ELSE 0.0 END, 6)")))
     w = Window.partitionBy("fingerprint")
     canonical = F.min("url").over(w)
     return out.withColumn(

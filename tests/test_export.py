@@ -149,3 +149,29 @@ def test_export_training_corpus_pii_scrub(spark, tmp_path):
     # committed (pre-export) rows keep the original bytes
     assert enriched.filter(
         F.col("text").contains("jane@example.com")).count() == 1
+
+
+def test_enrich_repetition_matches_quality_module(spark):
+    """The per-row dup_line/dup_bigram expressions in enrich_extracted
+    compute the same values as operators.quality's grouped SQL."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.operators import quality
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # masquerade documents as extracted rows (enrich only needs url+text)
+    fake = docs.select(F.concat(F.lit("u://"), F.col("doc_id")).alias("url"),
+                       "text")
+    enr = enrich_extracted(fake).select(
+        F.expr("cast(substring(url, 5) as long)").alias("doc_id"),
+        "dup_line_fraction", "dup_bigram_fraction")
+    docs.createOrReplaceTempView("_rep_docs")
+    ref = spark.sql(quality.repetition_signals_sql(
+        "spark", table="_rep_docs")).select(
+        "doc_id", "dup_line_fraction", "dup_bigram_fraction")
+    diff = enr.join(ref, "doc_id") \
+        .filter((enr.dup_line_fraction != ref.dup_line_fraction) |
+                (enr.dup_bigram_fraction != ref.dup_bigram_fraction))
+    assert diff.count() == 0
