@@ -30,7 +30,7 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
      r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
      "<IP>"),
     ("phone",
-     r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}[ .-]\d{3}[ .-]\d{3,6}",
+     r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}[ .-]\d{3,4}[ .-]\d{3,6}",
      "<PHONE>"),
 ]
 
