@@ -53,8 +53,12 @@ def contaminated_docs(spark: SparkSession, corpus: DataFrame,
     """(doc_id, n_hits) for corpus docs colliding with the eval set.
     The eval shingle set is explicitly broadcast — the corpus never
     shuffles."""
-    c_view = f"_decon_corpus_{abs(id(corpus)) % 10 ** 9}"
-    e_view = f"_decon_eval_{abs(id(eval_docs)) % 10 ** 9}"
+    import uuid
+
+    # unique per call — a reused view name would silently rebind any
+    # still-pending returned plan to different data
+    c_view = f"_decon_corpus_{uuid.uuid4().hex[:12]}"
+    e_view = f"_decon_eval_{uuid.uuid4().hex[:12]}"
     corpus.createOrReplaceTempView(c_view)
     eval_docs.createOrReplaceTempView(e_view)
     corpus_sh = spark.sql(

@@ -75,7 +75,12 @@ ORDER BY doc_id, band_id
 def band_signatures(spark: SparkSession, docs: DataFrame,
                     n_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
     """Band signatures for an arbitrary (doc_id, text) DataFrame."""
-    view = f"_inc_docs_{abs(id(docs)) % 10 ** 9}"
+    import uuid
+
+    # unique per call: the returned frame references the view LAZILY,
+    # so a reused name (id()-style) could silently rebind a pending
+    # plan to different data
+    view = f"_inc_docs_{uuid.uuid4().hex[:12]}"
     docs.createOrReplaceTempView(view)
     return spark.sql(band_signatures_sql(
         "spark", table=view, n_hashes=n_hashes, rows_per_band=rows_per_band))
