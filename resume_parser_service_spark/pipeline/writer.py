@@ -23,7 +23,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["SnapshotTable"]
+__all__ = ["SnapshotTable", "SnapshotConflictError"]
+
+
+class SnapshotConflictError(RuntimeError):
+    """Two writers raced to the same snapshot id; the loser raises
+    instead of clobbering (optimistic concurrency, Iceberg-style)."""
 
 
 def _hash60_py(s: str) -> int:
@@ -112,7 +117,20 @@ class SnapshotTable:
         tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.snap_dir, f"{snap_id:06d}.json"))
+        final = os.path.join(self.snap_dir, f"{snap_id:06d}.json")
+        # EXCLUSIVE publish (os.link fails if the target exists):
+        # two racing writers picked the same snapshot id — the loser
+        # must raise, not silently clobber the winner's manifest and
+        # orphan its data (Iceberg's optimistic-concurrency contract).
+        # The loser's data dir becomes remove_orphans() debris.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise SnapshotConflictError(
+                f"snapshot {snap_id} already committed by a concurrent "
+                f"writer; re-read the table and retry") from None
+        os.unlink(tmp)
         return snap_id
 
     def _file_stats(self, path: str) -> list[dict]:

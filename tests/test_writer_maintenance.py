@@ -207,3 +207,48 @@ def test_remove_orphans_sweeps_crashed_commit_only(spark, tmp_path):
     # second sweep with no age guard clears the stale in-flight dir too
     os.utime(fresh, (old, old))
     assert tbl.remove_orphans() == ["data/snap-000100-aaaaaaaa"]
+
+
+def test_concurrent_commit_loser_raises_not_clobbers(spark, tmp_path):
+    """Optimistic concurrency: when a racing writer has already
+    published the same snapshot id, commit raises SnapshotConflictError
+    and the winner's manifest is untouched; the loser's data dir is
+    orphan debris that remove_orphans sweeps."""
+    import json
+    import os
+
+    import pytest
+
+    from resume_parser_service_spark.pipeline.writer import (
+        SnapshotConflictError, SnapshotTable)
+
+    root = str(tmp_path / "tbl")
+    tbl = SnapshotTable(root)
+    df = spark.range(0, 5).selectExpr("cast(id as string) AS url",
+                                      "id AS v")
+    tbl.commit(df)
+
+    # simulate the true race: the winner's manifest appears AFTER the
+    # loser chose its snapshot id (both read last=1) but BEFORE the
+    # loser publishes — injected via the _file_stats hook that runs
+    # between data write and manifest publish
+    winner = {"id": 2, "parent": 1, "path": "data/snap-000002-winner",
+              "committed_at": 0.0, "files": []}
+    os.makedirs(os.path.join(root, "data", "snap-000002-winner"))
+    orig_stats = tbl._file_stats
+
+    def raced(path):
+        with open(os.path.join(tbl.snap_dir, "000002.json"), "w") as fh:
+            json.dump(winner, fh)
+        return orig_stats(path)
+
+    tbl._file_stats = raced
+    with pytest.raises(SnapshotConflictError):
+        tbl.commit(df)
+    tbl._file_stats = orig_stats
+    # winner manifest untouched
+    with open(os.path.join(tbl.snap_dir, "000002.json")) as fh:
+        assert json.load(fh)["path"] == "data/snap-000002-winner"
+    # the loser's written-but-unpublished data dir is orphaned; sweep it
+    orphans = tbl.remove_orphans()
+    assert len(orphans) == 1 and "winner" not in orphans[0]
