@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.4.0"
+KERNEL_VERSION = "map-1.4.1"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -613,9 +613,14 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
     # ("C1 C1 C1 C1 C1"). When the mother-tongue marker is present the
     # panel is authoritative (matches the reference's own golden for
     # CVENG, cv_output/worse.json).
-    mt = re.search(r"MOTHER\s+TONGUE\(?S?\)?\s*:?\s*([A-Z][a-z]+)", text)
+    # the name may render Title-case ("Italian") or ALL CAPS ("ITALIAN")
+    # depending on the template — normalize to Title case
+    mt = re.search(r"MOTHER\s+TONGUE\(?S?\)?\s*:?\s*([A-Za-z]{3,})", text)
     if mt:
-        panel = {mt.group(1): "Mother tongue"}
+        mt_name = mt.group(1)
+        if mt_name.isupper() or mt_name.islower():
+            mt_name = mt_name.title()
+        panel = {mt_name: "Mother tongue"}
         for cap in re.finditer(r"\b([A-Z]{4,})\b", text):
             name = cap.group(1).title()
             if name.lower() not in _LANG_NAMES or name in panel:

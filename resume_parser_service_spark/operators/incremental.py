@@ -94,17 +94,31 @@ def match_against_index(new_bands: DataFrame,
     idx = index_bands.select(
         F.col("doc_id").alias("dup_of"), "band_id", "band_hash")
     return (idx.join(F.broadcast(new_bands), ["band_id", "band_hash"])
-            .select("doc_id", "dup_of").distinct())
+            .select("doc_id", "dup_of")
+            # a doc is never a near-dup of ITSELF: protects the replay
+            # path where a crash between the bands commit and the audit
+            # commit re-presents already-indexed keys
+            .filter(F.col("doc_id") != F.col("dup_of"))
+            .distinct())
 
 
 def split_batch(new_docs: DataFrame, new_bands: DataFrame,
                 index_bands: DataFrame) -> tuple[DataFrame, DataFrame,
                                                  DataFrame]:
     """(novel_docs, dup_pairs, updated_index): classify the batch and
-    grow the index by the novel docs' bands — append-only, no rewrite."""
+    grow the index by the novel docs' bands — append-only, no rewrite.
+
+    Non-novel = near-dup of a DIFFERENT indexed doc (in ``dup_pairs``)
+    OR already indexed under the same id (a replayed batch — e.g. a
+    crash between the index commit and the processed-keys commit).
+    Replayed ids are neither flagged as dups of themselves nor
+    re-appended, so replays cannot poison the index or the dup policy."""
     pairs = match_against_index(new_bands, index_bands)
-    novel = new_docs.join(pairs.select("doc_id").distinct(),
-                          "doc_id", "left_anti")
-    novel_bands = new_bands.join(pairs.select("doc_id").distinct(),
-                                 "doc_id", "left_anti")
+    seen = index_bands.select("doc_id").distinct()
+    non_novel = (pairs.select("doc_id")
+                 .unionByName(new_docs.join(seen, "doc_id", "left_semi")
+                              .select("doc_id"))
+                 .distinct())
+    novel = new_docs.join(non_novel, "doc_id", "left_anti")
+    novel_bands = new_bands.join(non_novel, "doc_id", "left_anti")
     return novel, pairs, index_bands.unionByName(novel_bands)

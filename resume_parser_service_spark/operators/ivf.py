@@ -75,13 +75,18 @@ def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
             .filter("rk = 1").select("vec_id", "cell"))
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str,
-               n_cells: int = 16) -> tuple[DataFrame, DataFrame]:
-    """(assignment, centroids) for the embeddings table."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .select("vec_id", "embedding")
-    cents = _centroids(emb, n_cells).persist()
-    cents.count()
+def ivf_assign(spark: SparkSession, sf_dir: str, n_cells: int = 16,
+               emb: DataFrame | None = None
+               ) -> tuple[DataFrame, DataFrame]:
+    """(assignment, centroids) for the embeddings table. Centroids are
+    MATERIALIZED to a literal 16-row local relation (not persist()ed —
+    a cached frame per call would leak storage for the session), which
+    also guarantees the downstream broadcasts are trivially cheap."""
+    if emb is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+    rows = _centroids(emb, n_cells).collect()
+    cents = spark.createDataFrame(rows, "cell int, centroid array<double>")
     return _assign_to(emb, cents), cents
 
 
@@ -92,7 +97,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 3,
     centroids. Returns (query_id, neighbor_id, cos_sim, rk)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
-    assigned, cents = ivf_assign(spark, sf_dir, n_cells)
+    assigned, cents = ivf_assign(spark, sf_dir, n_cells, emb=emb)
     queries = emb.filter(F.col("vec_id") < n_queries) \
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qvec"))

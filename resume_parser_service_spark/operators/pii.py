@@ -20,12 +20,17 @@ from pyspark.sql import functions as F
 
 __all__ = ["PII_PATTERNS", "scrub_pii_col", "scrub_pii_sql"]
 
-# order matters: emails before phones (digits inside an email local
-# part must not be half-eaten by the phone pattern)
+# order matters: emails before everything (digits inside an email local
+# part must not be half-eaten); dotted phone chains of >= 5 groups
+# (French-style 01.42.68.53.00) before ipv4, or the ipv4 rule would
+# match their first four groups and leak '<IP>.00'
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email",
      r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
+    ("phone_dotted",
+     r"\b\d{1,4}(?:\.\d{1,4}){4,}\b",
+     "<PHONE>"),
     ("ipv4",
      r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
      "<IP>"),

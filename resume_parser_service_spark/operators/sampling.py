@@ -43,9 +43,17 @@ def _key(expr: str, dialect: str) -> str:
     return f"cast({expr} as {cast_t})"
 
 
-def _bucket(key: str, dialect: str) -> str:
-    """Deterministic bucket in [0, 1e6) from the 60-bit portable hash."""
-    return f"({_hash60(_key(key, dialect), dialect)} % {_SCALE})"
+def _bucket(key: str, dialect: str, salt: str) -> str:
+    """Deterministic bucket in [0, 1e6) from the 60-bit portable hash.
+
+    ``salt`` makes each PURPOSE an independent hash function: without
+    it, sample_fraction and hash_split share one bucket value, so a
+    p<=0.9 sample would consist entirely of 'train' rows and the
+    val/test splits of the sample would be EMPTY (fully correlated
+    outcomes). With per-purpose salts the composition behaves like
+    independent draws."""
+    salted = f"concat('{salt}#', {_key(key, dialect)})"
+    return f"({_hash60(salted, dialect)} % {_SCALE})"
 
 
 def sample_fraction_sql(dialect: str, fraction: float,
@@ -54,7 +62,7 @@ def sample_fraction_sql(dialect: str, fraction: float,
     """p-sample: keep rows whose hash bucket falls below p * 1e6."""
     thr = int(round(fraction * _SCALE))
     return (f"SELECT * FROM {table} "
-            f"WHERE {_bucket(key, dialect)} < {thr} "
+            f"WHERE {_bucket(key, dialect, 'sample')} < {thr} "
             f"ORDER BY {key}")
 
 
@@ -66,11 +74,13 @@ def split_case_expr(dialect: str, key: str,
     """CASE expression assigning a stable split label from the key's
     hash bucket (cumulative thresholds — disjoint and exhaustive)."""
     weights = weights or DEFAULT_SPLITS
-    cases, cum = [], 0.0
     names = list(weights)
+    if len(names) == 1:  # degenerate: CASE with zero WHENs is invalid SQL
+        return f"'{names[0]}'"
+    cases, cum = [], 0.0
     for name in names[:-1]:
         cum += weights[name]
-        cases.append(f"WHEN {_bucket(key, dialect)} < "
+        cases.append(f"WHEN {_bucket(key, dialect, 'split')} < "
                      f"{int(round(cum * _SCALE))} THEN '{name}'")
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
 

@@ -59,7 +59,13 @@ def canonical_url_sql(col: str, dialect: str) -> str:
                f"length(regexp_extract({u}, '{auth}', 0)) + 1))")
     u = rep(lowered, "^(http://[^/:?#]+):80([/?]|$)", f"{ref1}{ref2}")
     u = rep(u, "^(https://[^/:?#]+):443([/?]|$)", f"{ref1}{ref2}")
-    u = rep(u, _TRACK + "=[^&#]*&", "")
-    u = rep(u, "[?&]" + _TRACK + "=[^&#]*$", "")
+    # tracking params must be anchored at a param BOUNDARY ([?&]) or a
+    # legit param whose name merely contains a tracking name (xgclid,
+    # medium_utm_x) gets corrupted. Three anchored steps:
+    # non-first tracking params; a leading tracking param with a
+    # successor (keep the '?'); a lone/trailing one after step 1.
+    u = rep(u, "&" + _TRACK + "=[^&#]*", "")
+    u = rep(u, "\\?" + _TRACK + "=[^&#]*&", "?")
+    u = rep(u, "\\?" + _TRACK + "=[^&#]*$", "")
     u = rep(u, "\\?$", "")
     return u

@@ -64,8 +64,13 @@ def export_training_corpus(enriched: DataFrame, path: str,
         (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= max_punct_ratio) &
         (F.coalesce(F.col("stopword_ratio"), F.lit(1.0))
          >= min_stopword_ratio))
-    if max_dup_line_fraction < 1.0 and \
-            "dup_line_fraction" in keep.columns:
+    if max_dup_line_fraction < 1.0:
+        if "dup_line_fraction" not in keep.columns:
+            # refuse to silently skip a gate the caller asked for
+            raise ValueError(
+                "max_dup_line_fraction requires the dup_line_fraction "
+                "column (run the frame through enrich_extracted, or "
+                "re-ingest pre-enrich rows with enrich=True)")
         # Gopher-style repetition gate (enrich_extracted annotation)
         keep = keep.filter(F.coalesce(F.col("dup_line_fraction"),
                                       F.lit(0.0)) <= max_dup_line_fraction)

@@ -97,8 +97,11 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                               F.col("error_class").isNull(),
                               F.lit("InvalidResumeDataError"))
                         .otherwise(F.col("error_class")))
-    # One materialization of the kernel output; everything below reuses it.
-    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    # One materialization of the kernel output; everything below reuses
+    # it. Keep the handle — `extracted` is rebound below (neardup join),
+    # and unpersisting the rebound plan would leak the cached kernel
+    # output for the session (one leak per batch in an ingest loop).
+    extracted = kernel_out = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)
     new_bands = None
     try:
@@ -137,7 +140,16 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
         snapshot_id = extracted_tbl.commit(
             extracted.filter(F.col("status") == "ok"))
         if bands_tbl is not None:
-            bands_tbl.commit(new_bands.withColumnRenamed("doc_id", "url"))
+            to_append = new_bands
+            if idx is not None:
+                # replay guard: a crash between this commit and the
+                # audit commit re-presents already-indexed urls — do
+                # not duplicate their bands
+                to_append = new_bands.join(
+                    idx.select("url").distinct()
+                       .withColumnRenamed("url", "doc_id"),
+                    "doc_id", "left_anti")
+            bands_tbl.commit(to_append.withColumnRenamed("doc_id", "url"))
 
         audit = extracted.select(
             F.lit(run_id).alias("run_id"),
@@ -169,7 +181,7 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                 "rejected": n_rejected, "snapshot_id": snapshot_id,
                 "compacted": compacted, "resumed_noop": False}
     finally:
-        extracted.unpersist()
+        kernel_out.unpersist()
         rejected.unpersist()
         if new_bands is not None:
             new_bands.unpersist()

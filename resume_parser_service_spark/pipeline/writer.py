@@ -379,7 +379,7 @@ class SnapshotTable:
             expired.append(s["id"])
         return expired
 
-    def remove_orphans(self, older_than_s: float = 0.0) -> list[str]:
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data directories referenced by NO snapshot manifest —
         the debris of crashed commits (``commit`` writes data fully
         before the manifest appears, so a crash between the two leaves a
@@ -387,7 +387,10 @@ class SnapshotTable:
         Iceberg ``remove_orphan_files`` semantics, incl. the age guard:
         only dirs older than ``older_than_s`` are removed, so a commit
         in flight right now (data written, manifest microseconds away)
-        is never swept. Returns the removed relative paths."""
+        is never swept — hence a NON-ZERO default (1 h; Iceberg's is
+        3 days): passing 0 would let a maintenance sweep delete a
+        concurrent writer's about-to-publish data dir. Returns the
+        removed relative paths."""
         import shutil
         import time as _time
         referenced = {s["path"] for s in self.snapshots()}

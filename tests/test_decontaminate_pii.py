@@ -77,6 +77,7 @@ def test_pii_scrub_column_and_sql_parity(spark):
         (2, "server 192.168.10.250 answered"),
         (3, "no pii here, just 42 words and v1.2 versions"),
         (4, "call (089) 555-123 456 today"),
+        (5, "appelez le 01.42.68.53.00 ce soir"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r.id: r.clean for r in
@@ -87,6 +88,8 @@ def test_pii_scrub_column_and_sql_parity(spark):
     assert out[2] == "server <IP> answered"
     assert out[3] == rows[2][1]          # untouched
     assert "<PHONE>" in out[4]
+    # dotted 5-group French number is ONE phone, not an <IP> + leak
+    assert out[5] == "appelez le <PHONE> ce soir"
 
     # SQL emission matches the Column API on Spark, and DuckDB matches
     df.createOrReplaceTempView("_pii_rows")
@@ -113,6 +116,11 @@ URL_CASES = [
     ("no-scheme.example/Path#x", "no-scheme.example/Path"),
     ("http://host:8080/keep-nondefault-port", 
      "http://host:8080/keep-nondefault-port"),
+    # param names that merely CONTAIN a tracking name must survive
+    ("https://h/p?xgclid=1&q=2", "https://h/p?xgclid=1&q=2"),
+    ("https://h/p?medium_utm_x=1&q=2", "https://h/p?medium_utm_x=1&q=2"),
+    # consecutive tracking params all go
+    ("https://h/p?utm_a=1&utm_b=2&q=3", "https://h/p?q=3"),
 ]
 
 

@@ -90,15 +90,19 @@ def test_signature_sql_engine_parity(spark, corpus):
 
 
 def test_reingest_is_noop(spark, corpus):
-    """Re-presenting already-indexed docs flags every one of them —
-    the idempotency property an incremental pipeline leans on."""
+    """Re-presenting already-indexed docs (a replayed batch): none are
+    novel, none are flagged as near-dups of THEMSELVES, and the index
+    does not grow — the idempotency an incremental pipeline leans on."""
     indexed, _, _, _ = corpus
     idx_bands = incremental.band_signatures(spark, indexed)
+    n_idx = idx_bands.count()
     reingest = indexed.limit(20)
     re_bands = incremental.band_signatures(spark, reingest)
-    novel, pairs, _ = incremental.split_batch(reingest, re_bands, idx_bands)
+    novel, pairs, updated = incremental.split_batch(
+        reingest, re_bands, idx_bands)
     assert novel.count() == 0
-    assert pairs.filter("doc_id = dup_of").count() == 20
+    assert pairs.filter("doc_id = dup_of").count() == 0
+    assert updated.count() == n_idx  # replay appends nothing
 
 
 def test_ingest_job_neardup_index(spark, tmp_path):

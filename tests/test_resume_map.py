@@ -328,3 +328,18 @@ def test_reference_golden_section_recall():
     assert exps[0]["key_responsibilities"] == gexps[0]["key_responsibilities"]
 
     assert m["languages"] == ref["languages"]
+
+
+def test_europass_panel_all_caps_mother_tongue():
+    """Some Europass templates render the mother tongue ALL CAPS
+    ('MOTHER TONGUE(S): ITALIAN') — the panel detector must still fire
+    and normalize the name (map-1.4.1)."""
+    text = ("JOHN DOE\n"
+            "MOTHER TONGUE(S): ITALIAN\n"
+            "some interleaved body prose here\n"
+            "ENGLISH mixed with other column text\n"
+            "C1 C1 C1 C1 C1 other stuff\n")
+    m = map_resume(text, [])
+    assert m["languages"] == [
+        {"language": "Italian", "proficiency": "Mother tongue"},
+        {"language": "English", "proficiency": "C1"}]

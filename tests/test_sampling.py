@@ -105,3 +105,25 @@ def test_global_shuffle_parity_and_total_order(spark, duck):
     assert sdf["shuffle_order"].is_monotonic_increasing
     # genuinely shuffled: not the original doc_id order
     assert list(sdf["doc_id"]) != sorted(sdf["doc_id"])
+
+
+def test_sample_then_split_composes_independently(spark):
+    """sample_fraction and hash_split use PURPOSE-salted buckets: a
+    20% sample still contains every split label (unsalted shared
+    buckets would make any <=90% sample 100% 'train')."""
+    from resume_parser_service_spark.operators.catalog import register_views
+    register_views(spark, SF_DIR)
+    sampled = sampling.sample_fraction_sql("spark", 0.2).split("ORDER BY")[0]
+    case = sampling.split_case_expr("spark", "doc_id")
+    labels = {r.split for r in spark.sql(
+        f"SELECT {case} AS split FROM ({sampled})").collect()}
+    assert "train" in labels and len(labels) >= 2
+
+
+def test_split_single_weight_degenerate(spark):
+    """weights with one entry must not emit an invalid zero-WHEN CASE."""
+    from resume_parser_service_spark.operators.catalog import register_views
+    register_views(spark, SF_DIR)
+    rows = spark.sql(sampling.hash_split_sql(
+        "spark", weights={"train": 1.0})).collect()
+    assert len(rows) == 500 and all(r.split == "train" for r in rows)

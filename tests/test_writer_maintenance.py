@@ -192,7 +192,7 @@ def test_remove_orphans_sweeps_crashed_commit_only(spark, tmp_path):
     os.makedirs(dead)
     with open(os.path.join(dead, "part-0.parquet"), "wb") as fh:
         fh.write(b"not really parquet")
-    old = time.time() - 3600
+    old = time.time() - 7200
     os.utime(dead, (old, old))
     # and one "in-flight" dir younger than the age guard
     fresh = os.path.join(root, "data", "snap-000100-aaaaaaaa")
@@ -204,7 +204,7 @@ def test_remove_orphans_sweeps_crashed_commit_only(spark, tmp_path):
     assert os.path.exists(fresh)          # age guard held
     assert tbl.read(spark).count() == 20  # committed data untouched
 
-    # second sweep with no age guard clears the stale in-flight dir too
+    # second sweep: once stale past the default 1 h grace, it goes too
     os.utime(fresh, (old, old))
     assert tbl.remove_orphans() == ["data/snap-000100-aaaaaaaa"]
 
@@ -250,5 +250,6 @@ def test_concurrent_commit_loser_raises_not_clobbers(spark, tmp_path):
     with open(os.path.join(tbl.snap_dir, "000002.json")) as fh:
         assert json.load(fh)["path"] == "data/snap-000002-winner"
     # the loser's written-but-unpublished data dir is orphaned; sweep it
-    orphans = tbl.remove_orphans()
+    # (grace disabled — in production the 1 h default would retain it)
+    orphans = tbl.remove_orphans(older_than_s=0.0)
     assert len(orphans) == 1 and "winner" not in orphans[0]
