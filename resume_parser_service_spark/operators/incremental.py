@@ -86,20 +86,46 @@ def band_signatures(spark: SparkSession, docs: DataFrame,
         "spark", table=view, n_hashes=n_hashes, rows_per_band=rows_per_band))
 
 
-def match_against_index(new_bands: DataFrame,
-                        index_bands: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs (doc_id, dup_of): batch docs colliding
-    with an indexed doc in >= 1 band. The batch side is explicitly
-    broadcast — the index streams map-side and is never shuffled."""
+def _collisions(new_bands: DataFrame,
+                index_bands: DataFrame) -> DataFrame:
+    """Raw band collisions (doc_id, dup_of) incl. self-matches. The
+    batch side is explicitly broadcast — the index streams map-side and
+    is NEVER shuffled; everything downstream (pairs, replay detection)
+    derives from this one join so no second index pass exists."""
     idx = index_bands.select(
         F.col("doc_id").alias("dup_of"), "band_id", "band_hash")
     return (idx.join(F.broadcast(new_bands), ["band_id", "band_hash"])
-            .select("doc_id", "dup_of")
-            # a doc is never a near-dup of ITSELF: protects the replay
-            # path where a crash between the bands commit and the audit
-            # commit re-presents already-indexed keys
-            .filter(F.col("doc_id") != F.col("dup_of"))
-            .distinct())
+            .select("doc_id", "dup_of").distinct())
+
+
+def seen_and_pairs(new_bands: DataFrame, index_bands: DataFrame
+                   ) -> tuple[DataFrame, DataFrame]:
+    """(seen, pairs) from one broadcast collision join:
+
+    - ``seen``: batch doc_ids ALREADY in the index under the same id —
+      a replayed batch (crash between the bands commit and the
+      processed-keys commit). Detected as exact self-matches
+      (identical id -> identical deterministic bands), zero extra
+      index scans.
+    - ``pairs``: near-dup candidates against a DIFFERENT indexed doc,
+      with replayed docs excluded entirely — a replayed doc was
+      already classified by its original run; re-flagging it against
+      its own batch siblings (now in the index) would let a
+      drop-near-dups export delete EVERY copy of a family."""
+    hits = _collisions(new_bands, index_bands)
+    seen = (hits.filter(F.col("doc_id") == F.col("dup_of"))
+            .select("doc_id"))
+    pairs = (hits.filter(F.col("doc_id") != F.col("dup_of"))
+             .join(seen, "doc_id", "left_anti"))
+    return seen, pairs
+
+
+def match_against_index(new_bands: DataFrame,
+                        index_bands: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_id, dup_of): batch docs colliding
+    with a DIFFERENT indexed doc in >= 1 band; replayed (already
+    indexed) batch docs are excluded — see ``seen_and_pairs``."""
+    return seen_and_pairs(new_bands, index_bands)[1]
 
 
 def split_batch(new_docs: DataFrame, new_bands: DataFrame,
@@ -111,14 +137,11 @@ def split_batch(new_docs: DataFrame, new_bands: DataFrame,
     Non-novel = near-dup of a DIFFERENT indexed doc (in ``dup_pairs``)
     OR already indexed under the same id (a replayed batch — e.g. a
     crash between the index commit and the processed-keys commit).
-    Replayed ids are neither flagged as dups of themselves nor
-    re-appended, so replays cannot poison the index or the dup policy."""
-    pairs = match_against_index(new_bands, index_bands)
-    seen = index_bands.select("doc_id").distinct()
-    non_novel = (pairs.select("doc_id")
-                 .unionByName(new_docs.join(seen, "doc_id", "left_semi")
-                              .select("doc_id"))
-                 .distinct())
+    Replayed ids are neither flagged nor re-appended, so replays cannot
+    poison the index or the dup policy; replay detection comes from the
+    SAME broadcast collision join as the pairs (no extra index scan)."""
+    seen, pairs = seen_and_pairs(new_bands, index_bands)
+    non_novel = pairs.select("doc_id").unionByName(seen).distinct()
     novel = new_docs.join(non_novel, "doc_id", "left_anti")
     novel_bands = new_bands.join(non_novel, "doc_id", "left_anti")
     return novel, pairs, index_bands.unionByName(novel_bands)

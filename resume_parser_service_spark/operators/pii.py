@@ -28,12 +28,20 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email",
      r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
+    # exactly the French/Belgian shape (five 2-digit groups) — a looser
+    # "any 5+ dotted groups" rule corrupts SNMP OIDs (1.3.6.1.4.1.x),
+    # Oracle patch levels (10.2.0.4.1) and section numbering, which is
+    # precisely the technical text this pipeline exports
     ("phone_dotted",
-     r"\b\d{1,4}(?:\.\d{1,4}){4,}\b",
-     "<PHONE>"),
+     r"(^|[^.\d])(\d{2}(?:\.\d{2}){4})([^.\d]|$)",
+     "$1<PHONE>$3"),
+    # consumed-context guards instead of lookarounds (RE2 has none):
+    # exactly four dotted groups, NOT embedded in a longer chain — a
+    # bare \b..\b matched the first four groups of OIDs and versions,
+    # leaving '<IP>.4.1.2021'-style corruption
     ("ipv4",
-     r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-     "<IP>"),
+     r"(^|[^.\d])((?:\d{1,3}\.){3}\d{1,3})([^.\d]|$)",
+     "$1<IP>$3"),
     ("phone",
      r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}[ .-]\d{3,4}[ .-]\d{3,6}",
      "<PHONE>"),
@@ -50,14 +58,16 @@ def scrub_pii_col(col: str) -> Column:
 
 def scrub_pii_sql(col: str, dialect: str) -> str:
     """The same chain as SQL text. Dialect quirks handled here: Spark
-    SQL string literals eat backslashes (double them), and DuckDB's
+    SQL string literals eat backslashes (double them), DuckDB's
     regexp_replace is first-match-only without the 'g' flag (Spark's is
-    always global)."""
+    always global), and replacement group refs are ``$1`` in Java regex
+    but ``\\1`` in RE2."""
     expr = col
     for _, pat, repl in PII_PATTERNS:
         if dialect == "spark":
-            pat_sql, flags = pat.replace("\\", "\\\\"), ""
+            pat_sql, repl_sql, flags = pat.replace("\\", "\\\\"), repl, ""
         else:
             pat_sql, flags = pat, ", 'g'"
-        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}'{flags})"
+            repl_sql = repl.replace("$", "\\")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}'{flags})"
     return expr

@@ -38,9 +38,13 @@ _SCALE = 1_000_000
 
 
 def _key(expr: str, dialect: str) -> str:
-    """Stringified stable key for md5 (identical text on both engines)."""
+    """Stringified stable key for md5 (identical text on both engines).
+    NULL keys coalesce to '' BEFORE the salt concat: Spark's concat
+    propagates NULL (row silently dropped from a sample) while DuckDB's
+    concat skips NULL args (row kept) — coalescing makes both engines
+    give NULL keys the same deterministic ''-bucket."""
     cast_t = "string" if dialect == "spark" else "varchar"
-    return f"cast({expr} as {cast_t})"
+    return f"coalesce(cast({expr} as {cast_t}), '')"
 
 
 def _bucket(key: str, dialect: str, salt: str) -> str:

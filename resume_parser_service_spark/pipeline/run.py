@@ -113,9 +113,10 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                     "resumed_noop": True}
 
         bands_tbl = None
+        seen = None
         if neardup_index:
             from ..operators.incremental import (band_signatures,
-                                                 match_against_index)
+                                                 seen_and_pairs)
             bands_tbl = SnapshotTable(os.path.join(out_root,
                                                    "neardup_bands"))
             ok_docs = (extracted.filter(F.col("status") == "ok")
@@ -126,7 +127,11 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                 .persist(StorageLevel.MEMORY_AND_DISK)
             idx = bands_tbl.read(spark)
             if idx is not None:
-                pairs = match_against_index(
+                # seen = replayed urls (crash between the bands commit
+                # and the audit commit) — derived from the SAME single
+                # broadcast collision join as the pairs: the index
+                # streams once and is never shuffled or re-scanned
+                seen, pairs = seen_and_pairs(
                     new_bands, idx.select(F.col("url").alias("doc_id"),
                                           "band_id", "band_hash"))
                 flags = (pairs.groupBy("doc_id")
@@ -141,14 +146,11 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
             extracted.filter(F.col("status") == "ok"))
         if bands_tbl is not None:
             to_append = new_bands
-            if idx is not None:
-                # replay guard: a crash between this commit and the
-                # audit commit re-presents already-indexed urls — do
-                # not duplicate their bands
-                to_append = new_bands.join(
-                    idx.select("url").distinct()
-                       .withColumnRenamed("url", "doc_id"),
-                    "doc_id", "left_anti")
+            if seen is not None:
+                # replay guard: already-indexed urls (seen, batch-sized
+                # and broadcastable) are not re-appended
+                to_append = new_bands.join(F.broadcast(seen),
+                                           "doc_id", "left_anti")
             bands_tbl.commit(to_append.withColumnRenamed("doc_id", "url"))
 
         audit = extracted.select(

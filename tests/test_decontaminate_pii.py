@@ -78,6 +78,7 @@ def test_pii_scrub_column_and_sql_parity(spark):
         (3, "no pii here, just 42 words and v1.2 versions"),
         (4, "call (089) 555-123 456 today"),
         (5, "appelez le 01.42.68.53.00 ce soir"),
+        (6, "snmp oid 1.3.6.1.4.1.2021 and patch 10.2.0.4.1 intact"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r.id: r.clean for r in
@@ -90,6 +91,8 @@ def test_pii_scrub_column_and_sql_parity(spark):
     assert "<PHONE>" in out[4]
     # dotted 5-group French number is ONE phone, not an <IP> + leak
     assert out[5] == "appelez le <PHONE> ce soir"
+    # technical dotted chains (OIDs, patch levels) are NOT phones
+    assert out[6] == rows[5][1]
 
     # SQL emission matches the Column API on Spark, and DuckDB matches
     df.createOrReplaceTempView("_pii_rows")

@@ -127,3 +127,26 @@ def test_split_single_weight_degenerate(spark):
     rows = spark.sql(sampling.hash_split_sql(
         "spark", weights={"train": 1.0})).collect()
     assert len(rows) == 500 and all(r.split == "train" for r in rows)
+
+
+def test_null_key_parity(spark, duck):
+    """NULL keys get the same deterministic treatment on both engines
+    (Spark's concat propagates NULL, DuckDB's skips it — the coalesce
+    in the bucket makes them agree)."""
+    import pandas as pd
+
+    rows = [(1, "a"), (None, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_null_docs")
+    con = duckdb.connect()
+    con.register("_null_docs", df.toPandas())
+    for builder, args in [(sampling.sample_fraction_sql, (0.5,)),
+                          (sampling.hash_split_sql, (None,))]:
+        sdf = spark.sql(builder("spark", *args, table="_null_docs")) \
+            .toPandas()
+        odf = con.execute(builder("duck", *args, table="_null_docs")).df()
+        assert len(sdf) == len(odf)
+        pd.testing.assert_frame_equal(
+            sdf.sort_values("text").reset_index(drop=True),
+            odf.sort_values("text").reset_index(drop=True),
+            check_dtype=False)
