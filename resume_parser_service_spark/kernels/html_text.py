@@ -20,7 +20,7 @@ import re
 
 __all__ = ["extract_html", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "html-1.3.0"
+KERNEL_VERSION = "html-1.4.0"
 
 # Containers whose entire subtree is boilerplate.
 _BOILERPLATE = {"nav", "header", "footer", "aside", "form", "menu",
@@ -57,7 +57,9 @@ _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
              "ldquo": "“", "rdquo": "”", "copy": "©",
              "reg": "®", "trade": "™", "middot": "·",
              "bull": "•", "laquo": "«", "raquo": "»"}
-_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+# named entities may carry digits (&frac12; &sup1;) — [a-zA-Z]+ alone
+# would never even look them up in the HTML5 table
+_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 _WS_RE = re.compile(r"\s+")
 
 # Extraction thresholds (frozen).
@@ -115,13 +117,12 @@ def _unescape(text: str) -> str:
 
 
 class _Block:
-    __slots__ = ("parts", "link_chars", "boiler", "n_anchors")
+    __slots__ = ("parts", "link_chars", "boiler")
 
     def __init__(self, boiler: int):
         self.parts: list[str] = []
         self.link_chars = 0
         self.boiler = boiler
-        self.n_anchors = 0
 
     def text(self) -> str:
         return _WS_RE.sub(" ", "".join(self.parts)).strip()
@@ -185,7 +186,6 @@ def extract_html(data: bytes) -> dict:
                 anchor_depth = max(0, anchor_depth - 1)
             else:
                 anchor_depth += 1
-                cur.n_anchors += 1
                 hm = re.search(r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
                                attrs, re.I)
                 if hm:
@@ -200,6 +200,18 @@ def extract_html(data: bytes) -> dict:
             else:
                 boiler_depth += 1
             cur = _Block(boiler_depth)
+        elif tag in ("article", "main") and not closing:
+            # a semantic main-content container opening INSIDE a hinted
+            # generic container means the hint mis-scoped (common with
+            # never-closed chrome divs in crawled HTML): the readability
+            # precedence is that <article>/<main> wins — drop all
+            # hint-derived boiler (semantic _BOILERPLATE nesting like
+            # <nav> is unaffected)
+            if hint_stack:
+                boiler_depth = max(0, boiler_depth - len(hint_stack))
+                hint_stack.clear()
+                flush()
+                cur = _Block(boiler_depth)
         elif tag in _HINTABLE and not self_closing:
             # generic containers become boilerplate when their class/id
             # says chrome (<div class="navbar">); the matching close is
@@ -214,7 +226,13 @@ def extract_html(data: bytes) -> dict:
                     cur = _Block(boiler_depth)
             else:
                 d = tag_depth.get(tag, 0)
-                if hint_stack and hint_stack[-1] == (tag, d):
+                # pop the exact match AND any abandoned deeper entries
+                # (a close arriving at/below a recorded depth means that
+                # hinted open can no longer be closed properly — without
+                # this, one unbalanced div sticks boiler_depth forever
+                # and the rest of the page extracts empty)
+                while (hint_stack and hint_stack[-1][0] == tag
+                        and hint_stack[-1][1] >= d):
                     hint_stack.pop()
                     boiler_depth = max(0, boiler_depth - 1)
                     flush()

@@ -69,34 +69,11 @@ def decode_png(data: bytes) -> dict:
     if bit_depth != 8 or color_type != 0:
         raise ValueError("only 8-bit grayscale supported")
     raw = zlib.decompress(idat)
-    # defilter: same math as the parquet/PDF PNG predictor (bpp=1)
-    out = bytearray()
-    prev = bytearray(width)
-    for r in range(height):
-        ft = raw[r * (width + 1)]
-        row = bytearray(raw[r * (width + 1) + 1:(r + 1) * (width + 1)])
-        if ft == 1:
-            for j in range(1, width):
-                row[j] = (row[j] + row[j - 1]) & 0xFF
-        elif ft == 2:
-            for j in range(width):
-                row[j] = (row[j] + prev[j]) & 0xFF
-        elif ft == 3:
-            for j in range(width):
-                left = row[j - 1] if j else 0
-                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
-        elif ft == 4:
-            for j in range(width):
-                a = row[j - 1] if j else 0
-                b = prev[j]
-                c = prev[j - 1] if j else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else \
-                    (b if pb <= pc else c)
-                row[j] = (row[j] + pred) & 0xFF
-        out += row
-        prev = row
+    # defilter: EXACTLY the PDF PNG-predictor math with colors=1, bpc=8
+    # (rowlen = width, bpp = 1) — one shared implementation, one place
+    # to fix (the previous copy duplicated all five filters inline)
+    from .pdf_text import _undo_png_predictor
+    out = _undo_png_predictor(raw, width, 1, 8)
     return {"width": width, "height": height, "bit_depth": bit_depth,
             "pixels": bytes(out)}
 
@@ -175,6 +152,8 @@ def decode_y4m(data: bytes, sample_every: int = 2) -> dict:
         pos = data.find(b"\n", pos) + 1
         if n_frames % sample_every == 0:
             y_plane = data[pos:pos + w * h]
+            if not y_plane:  # stream truncated right after FRAME header
+                break
             sampled_lumas.append(sum(y_plane) / len(y_plane))
         pos += frame_bytes
         n_frames += 1

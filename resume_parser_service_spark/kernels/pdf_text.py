@@ -38,7 +38,7 @@ import zlib
 
 __all__ = ["extract_pdf", "PdfError", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "pdf-1.6.0"
+KERNEL_VERSION = "pdf-1.6.1"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -156,7 +156,9 @@ def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
 
 def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
     pos += 1  # '<'
-    end = data.index(b">", pos)
+    end = data.find(b">", pos)
+    if end < 0:  # unterminated hex string: structural, not a ValueError
+        raise PdfError("unterminated hex string")
     hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos:end])
     if len(hexs) % 2:
         hexs += b"0"
@@ -471,7 +473,19 @@ class _Document:
         else:
             flist = [filters]
         data = stream.raw
-        for f in flist:
+
+        def parms_for(i: int) -> dict:
+            """/DecodeParms may be a single dict or an array parallel to
+            the /Filter array (spec 7.3.8.2) — both are spec-legal and
+            writers emit both; ignoring the array form silently skips
+            PNG-predictor reversal (garbage xref offsets / garbled
+            text)."""
+            parms = self.resolve(stream.dict.get("DecodeParms"))
+            if isinstance(parms, list):
+                parms = self.resolve(parms[i]) if i < len(parms) else None
+            return parms if isinstance(parms, dict) else {}
+
+        for i, f in enumerate(flist):
             if f in ("FlateDecode", "Fl"):
                 try:
                     data = zlib.decompress(data)
@@ -480,8 +494,8 @@ class _Document:
                         data = zlib.decompressobj().decompress(data)
                     except zlib.error:
                         return None
-                parms = self.resolve(stream.dict.get("DecodeParms"))
-                if isinstance(parms, dict) and self.resolve(parms.get("Predictor"), ) not in (None, 1):
+                parms = parms_for(i)
+                if self.resolve(parms.get("Predictor")) not in (None, 1):
                     data = _undo_png_predictor(
                         data,
                         int(self.resolve(parms.get("Columns")) or 1),
@@ -500,15 +514,13 @@ class _Document:
             elif f in ("RunLengthDecode", "RL"):
                 data = _runlength_decode(data)
             elif f in ("LZWDecode", "LZW"):
-                parms = self.resolve(stream.dict.get("DecodeParms"))
-                early = 1
-                if isinstance(parms, dict):
-                    early = int(self.resolve(parms.get("EarlyChange")) or 1)
+                parms = parms_for(i)
+                early = int(self.resolve(parms.get("EarlyChange")) or 1)
                 try:
                     data = _lzw_decode(data, early)
                 except ValueError:
                     return None
-                if isinstance(parms, dict) and self.resolve(
+                if self.resolve(
                         parms.get("Predictor")) not in (None, 1):
                     data = _undo_png_predictor(
                         data,

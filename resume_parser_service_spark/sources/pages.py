@@ -30,8 +30,10 @@ from ..kernels.pdf_gen import make_pdf
 __all__ = ["synth_doc", "fixture_rows", "build_pages_df", "PAGES_SCHEMA",
            "EDGE_URLS"]
 
-PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
-                "text string, lang string")
+# single source of truth for the pages shape: the canonical StructType
+# in schema.py (a hand-maintained DDL twin here had to be kept in sync
+# by eye; mapInPandas takes the StructType directly)
+from ..schema import PAGES_SCHEMA  # noqa: E402  (re-export)
 
 _EPOCH = datetime(2024, 3, 1, tzinfo=timezone.utc)
 

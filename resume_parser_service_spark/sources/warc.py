@@ -145,10 +145,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     .dt.tz_localize(None)
             yield out
 
-    return files.mapInPandas(
-        explode_records,
-        schema="url string, warc_ts timestamp, html binary, "
-               "text string, lang string")
+    from ..schema import PAGES_SCHEMA
+    return files.mapInPandas(explode_records, schema=PAGES_SCHEMA)
 
 
 def make_warc(records: list[dict], compress: bool = False) -> bytes:

@@ -165,6 +165,10 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
             if n and t - last_us > gap_us:
                 yield emit(start_us, last_us, n, total)
                 start_us, n, total = t, 0, 0.0
+            # a late-but-within-watermark event may predate the stored
+            # session start — the emitted window must cover every event
+            # it counted
+            start_us = min(start_us, t)
             last_us = max(last_us, t)
             n += 1
             total += v

@@ -145,3 +145,29 @@ def test_html5_named_entities_decoded():
     assert "café" in t and "straße" in t and "über" in t
     assert "&notanentity;" in t
     assert "é" in t
+
+
+def test_unclosed_hinted_container_recovers():
+    """One unbalanced div inside a class-hinted container must not
+    poison the rest of the page (html-1.4.0): abandoned hints pop when
+    the depth falls to their recording, and <article>/<main> clears
+    hint-derived boiler outright."""
+    from resume_parser_service_spark.kernels.html_text import extract_html
+
+    t = extract_html(
+        b'<div class="menu"><div>unclosed</div>'
+        b'<article><p>the real article content paragraph</p></article>')
+    assert "real article content" in t["text"]
+    # semantic boilerplate inside the article still drops
+    t2 = extract_html(
+        b"<article><p>good paragraph with enough text</p>"
+        b"<nav>skip me links</nav>"
+        b"<p>more good text here too</p></article>")
+    assert "skip me" not in t2["text"] and "more good" in t2["text"]
+
+
+def test_digit_bearing_entities_decoded():
+    from resume_parser_service_spark.kernels.html_text import extract_html
+
+    t = extract_html(b"<p>&frac12; cup and &sup2; notation</p>")["text"]
+    assert "½" in t and "²" in t

@@ -107,3 +107,16 @@ def test_multimodal_query_oracle_parity(spark):
     for col in ["media_type", "dim1", "dim2", "frames_sampled", "feature"]:
         assert list(sdf[col]) == pytest.approx(list(odf[col])) \
             if col == "feature" else list(sdf[col]) == list(odf[col]), col
+
+
+def test_y4m_truncated_after_frame_header():
+    """A stream cut right after 'FRAME\\n' reports the frames actually
+    decoded instead of dividing by zero."""
+    from resume_parser_service_spark.kernels.media import (decode_y4m,
+                                                           make_y4m)
+
+    data = make_y4m(4, 4, [10, 20])
+    cut = data.rfind(b"FRAME\n") + len(b"FRAME\n")
+    r = decode_y4m(data[:cut], sample_every=1)
+    assert r["frames_sampled"] == 1
+    assert r["mean_sampled_luma"] == 10.0
