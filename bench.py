@@ -8,8 +8,8 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32),
-     BENCH_N_DOCS (default 20000), BENCH_RUNS (default 1).
+     SPARK_GRAFT_CPUS (default 32), BENCH_N_DOCS (default 20000),
+     BENCH_RUNS (default 3), BENCH_QUERY_RUNS (default 3).
 """
 
 from __future__ import annotations
@@ -62,8 +62,8 @@ def bench_extraction(spark, pages_path: str, partitions: int) -> dict:
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         F.sum("n_chars").alias("chars")).collect()[0]
     wall = time.perf_counter() - t0
-    return {"n_docs": int(agg["n"]), "n_ok": int(agg["ok"]),
-            "n_chars": int(agg["chars"]), "wall_sec": wall,
+    return {"n_docs": int(agg["n"]), "n_ok": int(agg["ok"] or 0),
+            "n_chars": int(agg["chars"] or 0), "wall_sec": wall,
             "docs_per_sec": round(agg["n"] / wall, 1)}
 
 
@@ -143,7 +143,9 @@ def main() -> None:
         # ANN scale path vs labeled brute-force baseline (same sf)
         "ann_lsh_speedup": (
             round(qtimes["ann_topk_bruteforce"] / qtimes["ann_lsh_buckets"], 2)
-            if qtimes.get("ann_lsh_buckets") else None),
+            if qtimes.get("ann_lsh_buckets") is not None
+            and qtimes.get("ann_topk_bruteforce") is not None
+            and qtimes["ann_lsh_buckets"] > 0 else None),
     }
     spark.stop()
     print(json.dumps(result))

@@ -42,9 +42,15 @@ _REGISTERED: dict[int, str] = {}  # id(spark) -> sf_dir registered
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the testdata parquet tables as temp views (idempotent)."""
+    """Register the testdata parquet tables as temp views (idempotent).
+
+    The cache key is id(spark), which CPython can RECYCLE for a new
+    session after the old one is dropped — so a cache hit is only
+    trusted if the sentinel view actually exists in THIS session's
+    catalog (otherwise every query would fail TABLE_OR_VIEW_NOT_FOUND)."""
     key = id(spark)
-    if _REGISTERED.get(key) == sf_dir:
+    if (_REGISTERED.get(key) == sf_dir
+            and spark.catalog.tableExists(TABLES[0])):
         return
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
@@ -141,6 +147,24 @@ def _shingle_rel(dialect: str, n: int = 5, table: str = "documents") -> str:
   FROM (SELECT doc_id, {toks} AS toks FROM {table})"""
 
 
+def _capped_shingles_cte(dialect: str, max_df: int,
+                         table: str = "documents") -> str:
+    """Shared sh/cold/shf CTE body: DISTINCT (doc_id, shingle) with
+    shingles above the document-frequency cap removed BEFORE any
+    self-join. Single source for the df-cap policy — used by both the
+    near-dup pair query here and cluster._edges_sql, which must stay
+    in lockstep or pairs and clustering edges silently diverge."""
+    return f"""sh AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect, table=table)})
+),
+cold AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
+),
+shf AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)
+)"""
+
+
 def _shingle_sql(dialect: str) -> str:
     """5-word shingle fingerprints per doc (n-gram dedup primitive)."""
     return f"""
@@ -164,16 +188,8 @@ def _ngram_jaccard_sql(dialect: str, max_df: int = 100) -> str:
     sets. The cap is applied identically in both dialects so the oracle
     stays value-exact."""
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect)})
-),
+WITH {_capped_shingles_cte(dialect, max_df)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-cold AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
-),
-shf AS (
-  SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)
-),
 shared AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
   FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -705,7 +721,6 @@ FROM documents WHERE n_chars > 100 GROUP BY lang ORDER BY lang""")
 SELECT md5(text) AS fingerprint, count(*) AS n_copies,
        min(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)
-HAVING count(*) >= 1
 ORDER BY keeper_doc_id""")
 
     # document fingerprinting (normalized hash)

@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import register_views, _shingle_rel
+from .catalog import _capped_shingles_cte, register_views
 
 __all__ = ["cluster_queries", "cluster_oracles",
            "connected_components_lsss"]
@@ -41,15 +41,7 @@ def _edges_sql(dialect: str, max_df: int = 100) -> str:
     connectivity their rarer shingles provide — the standard trade in
     web-scale dedup."""
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect)})
-),
-cold AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
-),
-shf AS (
-  SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)
-)
+WITH {_capped_shingles_cte(dialect, max_df)}
 SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
 FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
 """
@@ -94,9 +86,11 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
         .persist()
 
     def label_sum(frame: DataFrame) -> int:
-        # decimal(38,0): immune to bigint overflow at 10^12-scale ids
+        # decimal(38,0): immune to bigint overflow at 10^12-scale ids;
+        # "or 0": SUM over an empty frame is NULL (empty corpus)
         return int(frame.agg(F.sum(F.col("cluster_id")
-                                   .cast("decimal(38,0)"))).collect()[0][0])
+                                   .cast("decimal(38,0)")))
+                   .collect()[0][0] or 0)
 
     prev_sum = label_sum(labels)
     try:
@@ -127,8 +121,10 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
                 raise RuntimeError(msg)
             # never return partial labels: fall back to large-star/
             # small-star, which converges in O(log n) rounds regardless
-            # of diameter
+            # of diameter. The loop's abandoned label frame must not
+            # stay cached for the session.
             log.error("%s; falling back to large-star/small-star", msg)
+            labels.unpersist()
             return connected_components_lsss(spark, edges, docs)
         return labels.orderBy("doc_id")
     finally:
