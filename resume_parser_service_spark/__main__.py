@@ -1,9 +1,12 @@
 """spark-submit entry point (north rule: ``spark-submit --py-files``).
 
-Package the repo and run:
+Package the repo and run (spark-submit needs a primary application
+FILE — it has no -m; a one-line driver that calls main() works):
 
     zip -r rps.zip resume_parser_service_spark
-    spark-submit --py-files rps.zip -m resume_parser_service_spark \\
+    echo 'from resume_parser_service_spark.__main__ import main; main()' \\
+        > run_job.py
+    spark-submit --py-files rps.zip run_job.py \\
         --input /data/pages --output /data/extracted
 
 or locally: ``python -m resume_parser_service_spark --input ... --output ...``
@@ -60,7 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import stream_extraction
         q = stream_extraction(spark, args.input, args.output,
                               salt_partitions=args.partitions,
-                              available_now=True)
+                              available_now=True,
+                              salt_input=args.salt_input,
+                              compact_after=args.compact_after,
+                              enrich=args.enrich,
+                              neardup_index=args.neardup_index,
+                              canonicalize_urls=args.canonical_urls)
         q.awaitTermination()
         print(json.dumps({"mode": "stream", "output": args.output}))
         return 0

@@ -29,15 +29,22 @@ def hash60(expr: Column | str) -> Column:
     return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("bigint")
 
 
+def _salted_min(toks: Column, salt: str) -> Column:
+    # NB: the transform lambda must be SINGLE-parameter. A two-param
+    # lambda makes PySpark bind the ARRAY INDEX to the second name —
+    # the old `lambda t, i=i:` default-capture trick therefore shadowed
+    # the salt with the index Column and produced session-dependent,
+    # non-portable signatures.
+    return F.array_min(F.transform(
+        toks, lambda t: hash60(F.concat(F.lit(salt), t))))
+
+
 def minhash(text: Column | str, n_hashes: int = 4) -> Column:
-    """MinHash signature (array<bigint>) over distinct whitespace tokens."""
+    """MinHash signature (array<bigint>) over distinct whitespace
+    tokens. Values match the catalog SQL (concat('s{i}#', tok)) and are
+    reproducible across sessions and engines."""
     toks = F.array_distinct(tokens(text))
-    sigs = [
-        F.array_min(F.transform(
-            toks, lambda t, i=i: hash60(F.concat(F.lit(f"s{i}#"), t))))
-        for i in range(n_hashes)
-    ]
-    return F.array(*sigs)
+    return F.array(*[_salted_min(toks, f"s{i}#") for i in range(n_hashes)])
 
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
@@ -46,7 +53,9 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
         F.col(b) if isinstance(b, str) else b
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    return dot / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero vector yields NULL instead of an ANSI-mode
+    # DIVIDE_BY_ZERO that kills the stage
+    return F.try_divide(dot, l2_norm(a) * l2_norm(b))
 
 
 def l2_norm(v: Column) -> Column:
@@ -59,12 +68,13 @@ def stopword_ratio(text: Column | str,
     toks = tokens(text)
     sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return hits.cast("double") / F.size(toks)
+    return F.try_divide(hits.cast("double"), F.size(toks))
 
 
 def punct_ratio(text: Column | str) -> Column:
     stripped = F.regexp_replace(text, "[a-z0-9 ]", "")
-    return F.length(stripped).cast("double") / F.length(text)
+    # try_divide: empty text is NULL, not an ANSI DIVIDE_BY_ZERO crash
+    return F.try_divide(F.length(stripped).cast("double"), F.length(text))
 
 
 def token_count(text: Column | str) -> Column:

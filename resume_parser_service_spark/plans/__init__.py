@@ -26,13 +26,33 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas NOT nested inside (), [] or <> — a bare
+    str.split(',') corrupts nested types (map<string,string>) and
+    multi-value filters (In(lang, [en, fr]))."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [t.strip() for t in out if t.strip()]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every scan in the plan."""
     plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+            out.extend(_split_top_level(m.group(1)))
     return out
 
 
@@ -40,9 +60,9 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names the parquet scan actually reads (pruning check)."""
     plan = formatted_plan(df)
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols.extend(c.split(":")[0].strip() for c in m.group(1).split(",")
-                    if c.strip())
+    for m in re.finditer(r"ReadSchema: struct<(.*)>$", plan, re.M):
+        cols.extend(c.split(":")[0].strip()
+                    for c in _split_top_level(m.group(1)))
     return cols
 
 

@@ -138,14 +138,11 @@ def canonical_resume_json(resume: dict) -> str:
     """Single-line JSON with frozen field order (construction order of
     kernels.resume_map.empty_resume); ``exam`` map keys sorted for
     total determinism."""
-    def fix(obj):
-        if isinstance(obj, dict):
-            return {k: fix(v) for k, v in obj.items()}
-        if isinstance(obj, list):
-            return [fix(v) for v in obj]
-        return obj
+    import copy
 
-    out = fix(resume)
+    # plain deepcopy — the only need is not mutating the caller's dict
+    # before the exam-sort below
+    out = copy.deepcopy(resume)
     eds = out.get("education_details")
     if eds:
         for ed in eds:

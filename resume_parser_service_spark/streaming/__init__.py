@@ -27,13 +27,17 @@ __all__ = ["stream_extraction", "stream_windowed_metrics",
 def stream_extraction(spark: SparkSession, input_dir: str, out_root: str,
                       checkpoint_dir: str | None = None,
                       available_now: bool = True,
-                      salt_partitions: int | None = None):
+                      salt_partitions: int | None = None,
+                      **job_kwargs):
     """Stream parquet ``pages`` files from ``input_dir`` into the
     extraction tables under ``out_root``.
 
     ``available_now=True`` drains everything currently present and
     stops (batch-like catch-up); ``False`` runs continuously on new
-    files. Returns the StreamingQuery."""
+    files. Extra ``job_kwargs`` (enrich, neardup_index,
+    canonicalize_urls, compact_after, salt_input) forward to
+    ``run_extraction_job`` per micro-batch — the streaming path offers
+    the same feature set as batch. Returns the StreamingQuery."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_root, "_stream_ckpt")
 
     stream = (spark.readStream.schema(PAGES_SCHEMA)
@@ -42,7 +46,7 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_root: str,
 
     def process_batch(batch_df, batch_id: int):
         run_extraction_job(batch_df.sparkSession, batch_df, out_root,
-                           salt_partitions=salt_partitions)
+                           salt_partitions=salt_partitions, **job_kwargs)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

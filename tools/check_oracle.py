@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -63,8 +64,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM '{sf_dir}/{t}.parquet'")
+        # DuckDB binds views eagerly — guard missing files like the
+        # Spark-side register_views does, so a custom sf dir lacking an
+        # optional table still checks everything it has
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -1,6 +1,7 @@
 """Final interleaved scaling measurement: alternating fresh-JVM runs at
 N and 4N cores cancel slow host-load drift; median over all samples.
-Updates the scaling section of BENCH/BASELINE.md.
+Writes BENCH/final_scaling.json (BASELINE.md is curated by hand from
+it — this tool does NOT edit markdown).
 
 Usage: python tools/final_scaling.py [n_docs] [lo] [hi] [reps]
 """
@@ -41,7 +42,14 @@ def sample(cores: int, pages_path: str) -> tuple[int, list[float]]:
         [sys.executable, "-c", _WORKER.format(repo=REPO), str(cores),
          pages_path],
         capture_output=True, text=True, cwd=REPO, timeout=900)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        # surface the worker's actual failure instead of a bare
+        # IndexError that throws away a multi-hour run's diagnostics
+        raise RuntimeError(
+            f"scaling worker failed (rc={out.returncode}):\n"
+            f"{out.stderr[-4000:]}")
+    line = json_lines[-1]
     d = json.loads(line)
     return d["n"], d["walls"]
 

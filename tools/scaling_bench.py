@@ -57,7 +57,14 @@ def run_level(cores: int, pages_path: str, runs: int = 3,
         [sys.executable, "-c", script, str(cores), pages_path, str(runs),
          "salt" if salt else "nosalt"],
         capture_output=True, text=True, cwd=REPO, timeout=1800)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        # surface the worker's actual failure instead of a bare
+        # IndexError that throws away a multi-hour run's diagnostics
+        raise RuntimeError(
+            f"scaling worker failed (rc={out.returncode}):\n"
+            f"{out.stderr[-4000:]}")
+    line = json_lines[-1]
     res = json.loads(line)
     res["median_wall"] = statistics.median(res["walls"])
     res["docs_per_sec"] = round(res["n_docs"] / res["median_wall"], 1)
