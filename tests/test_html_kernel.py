@@ -158,6 +158,9 @@ def test_unclosed_hinted_container_recovers():
         b'<div class="menu"><div>unclosed</div>'
         b'<article><p>the real article content paragraph</p></article>')
     assert "real article content" in t["text"]
+    # the hinted (menu) content itself must STAY dropped — recovery
+    # must not abandon boiler classification wholesale
+    assert "unclosed" not in t["text"]
     # semantic boilerplate inside the article still drops
     t2 = extract_html(
         b"<article><p>good paragraph with enough text</p>"

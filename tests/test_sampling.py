@@ -113,10 +113,10 @@ def test_sample_then_split_composes_independently(spark):
     buckets would make any <=90% sample 100% 'train')."""
     from resume_parser_service_spark.operators.catalog import register_views
     register_views(spark, SF_DIR)
-    sampled = sampling.sample_fraction_sql("spark", 0.2).split("ORDER BY")[0]
+    sampled = sampling.sample_fraction_sql("spark", 0.2)
     case = sampling.split_case_expr("spark", "doc_id")
     labels = {r.split for r in spark.sql(
-        f"SELECT {case} AS split FROM ({sampled})").collect()}
+        f"SELECT {case} AS split FROM ({sampled}) t").collect()}
     assert "train" in labels and len(labels) >= 2
 
 
@@ -129,7 +129,7 @@ def test_split_single_weight_degenerate(spark):
     assert len(rows) == 500 and all(r.split == "train" for r in rows)
 
 
-def test_null_key_parity(spark, duck):
+def test_null_key_parity(spark):
     """NULL keys get the same deterministic treatment on both engines
     (Spark's concat propagates NULL, DuckDB's skips it — the coalesce
     in the bucket makes them agree)."""
@@ -139,7 +139,11 @@ def test_null_key_parity(spark, duck):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.createOrReplaceTempView("_null_docs")
     con = duckdb.connect()
-    con.register("_null_docs", df.toPandas())
+    # NB: registering df.toPandas() would coerce doc_id to float64
+    # (NULL -> NaN) and DuckDB would hash '1.0' where Spark hashes '1'
+    # — build a typed INTEGER view so the key strings truly match
+    con.execute("CREATE VIEW _null_docs AS SELECT * FROM (VALUES "
+                "(1, 'a'), (NULL, 'b'), (3, 'c')) t(doc_id, text)")
     for builder, args in [(sampling.sample_fraction_sql, (0.5,)),
                           (sampling.hash_split_sql, (None,))]:
         sdf = spark.sql(builder("spark", *args, table="_null_docs")) \
