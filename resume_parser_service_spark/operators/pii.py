@@ -45,14 +45,31 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("phone",
      r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}[ .-]\d{3,4}[ .-]\d{3,6}",
      "<PHONE>"),
+    # US-style "(212) 555-1234" / "+1 (212) 555-1234": only TWO digit
+    # groups after the area code, so the three-group rule above misses
+    # it; requiring the '(area)' prefix keeps this from eating dates or
+    # prices. Runs after the generic rule so three-group numbers with a
+    # paren prefix are consumed whole, not split.
+    ("phone_us",
+     r"(?:\+\d{1,3}[ .-]?)?\(\d{2,4}\)[ .-]?\d{2,4}[ .-]\d{3,6}",
+     "<PHONE>"),
 ]
+
+# rules whose consumed-context guards ('(^|[^.\d])...([^.\d]|$)') eat
+# the trailing delimiter: adjacent tokens separated by one character
+# alternate-match, so these are applied TWICE (idempotent — the
+# placeholder contains no digits or dots, so a second pass can only
+# catch tokens the first pass's consumed guard skipped)
+_DOUBLE_PASS = {"phone_dotted", "ipv4"}
 
 
 def scrub_pii_col(col: str) -> Column:
     """Column expression applying every PII pattern in order."""
     out = F.col(col)
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
+        if name in _DOUBLE_PASS:
+            out = F.regexp_replace(out, pat, repl)
     return out
 
 
@@ -63,11 +80,14 @@ def scrub_pii_sql(col: str, dialect: str) -> str:
     always global), and replacement group refs are ``$1`` in Java regex
     but ``\\1`` in RE2."""
     expr = col
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
         if dialect == "spark":
             pat_sql, repl_sql, flags = pat.replace("\\", "\\\\"), repl, ""
         else:
             pat_sql, flags = pat, ", 'g'"
             repl_sql = repl.replace("$", "\\")
-        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}'{flags})"
+        passes = 2 if name in _DOUBLE_PASS else 1
+        for _ in range(passes):
+            expr = (f"regexp_replace({expr}, '{pat_sql}', "
+                    f"'{repl_sql}'{flags})")
     return expr

@@ -48,8 +48,8 @@ def export_training_corpus(enriched: DataFrame, path: str,
     drop non-canonical content duplicates, too-short docs, and
     punctuation-noise pages; keep the annotations in the JSONL so
     downstream mixers can re-threshold without re-extraction. Returns
-    {"kept", "dropped"} counts (one extra count job on the filtered
-    plan; the writer reuses it via cache).
+    {"kept", "dropped"} counts (both counts and the writer read the
+    persisted frames — the enrich lineage executes once).
 
     ``split_weights`` (e.g. ``{"train": .9, "val": .05, "test": .05}``)
     additionally tags each row with a deterministic url-hash split
@@ -86,6 +86,10 @@ def export_training_corpus(enriched: DataFrame, path: str,
         # original bytes (byte-identity contract)
         from ..operators.pii import scrub_pii_col
         keep = keep.withColumn("text", scrub_pii_col("text"))
+    # persist BOTH frames: n_total on an unpersisted `base` would
+    # re-execute the entire enrich lineage (window shuffle included) a
+    # second time — only the kept side was cached before
+    base = base.persist()
     keep = keep.persist()
     try:
         n_keep = keep.count()
@@ -108,6 +112,7 @@ def export_training_corpus(enriched: DataFrame, path: str,
             writer.text(path)
     finally:
         keep.unpersist()
+        base.unpersist()
     return stats
 
 

@@ -211,7 +211,10 @@ class SnapshotTable:
             paths = [p for p in paths if os.path.exists(p)]
             if not paths:
                 return spark.createDataFrame([], "url string")
-            df = spark.read.parquet(*paths)
+            # mergeSchema: after schema evolution (e.g. --enrich turned
+            # on mid-table) a single arbitrary footer would drop the
+            # newer columns; read() handles this via unionByName
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
         else:
             files = self.prune_files(key_eq=key)
             if files is not None:

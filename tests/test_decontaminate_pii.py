@@ -79,6 +79,9 @@ def test_pii_scrub_column_and_sql_parity(spark):
         (4, "call (089) 555-123 456 today"),
         (5, "appelez le 01.42.68.53.00 ce soir"),
         (6, "snmp oid 1.3.6.1.4.1.2021 and patch 10.2.0.4.1 intact"),
+        (7, "office (212) 555-1234 or cell +1 (917) 555-0199"),
+        (8, "two ips 1.2.3.4 5.6.7.8 and more 9.8.7.6 5.4.3.2 done"),
+        (9, "lignes 01.42.68.53.00 02.43.69.54.01 svp"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r.id: r.clean for r in
@@ -93,6 +96,13 @@ def test_pii_scrub_column_and_sql_parity(spark):
     assert out[5] == "appelez le <PHONE> ce soir"
     # technical dotted chains (OIDs, patch levels) are NOT phones
     assert out[6] == rows[5][1]
+    # US two-group shapes with '(area)' / '+CC (area)' prefixes scrub
+    assert out[7] == "office <PHONE> or cell <PHONE>"
+    # adjacent guard-rule tokens one delimiter apart: BOTH scrub (the
+    # consumed-context guard eats the separator, so a single pass
+    # alternate-matches; the chain double-applies those rules)
+    assert out[8] == "two ips <IP> <IP> and more <IP> <IP> done"
+    assert out[9] == "lignes <PHONE> <PHONE> svp"
 
     # SQL emission matches the Column API on Spark, and DuckDB matches
     df.createOrReplaceTempView("_pii_rows")
