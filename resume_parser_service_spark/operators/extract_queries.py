@@ -8,10 +8,11 @@ simply ``SELECT doc_id, text FROM documents``, so any extraction byte
 drift fails the value-hash. This is the per-row invariant of
 BASELINE.json ``input_hint`` made driver-visible.
 
-Also holds the multimodal binary plumbing (decode stubbed per the build
-brief — the container ships no image/audio libs; schema, batching and
-UDF signature are real) and the resume pipeline metrics query
-(rows-only check: the mapper output is not SQL-expressible).
+Also holds the multimodal binary plumbing (real pure-Python PNG/WAV/Y4M
+codecs, kernels/media.py), the featurizer-parity query (integer bucket
+counts give an EXACT DuckDB twin of the md5 hashing-trick embedding),
+and the resume-mapper query (synthetic resumes with doc_id-predictable
+mapped fields) — every entry here is value-hash-checkable.
 """
 
 from __future__ import annotations
@@ -89,25 +90,88 @@ _IDENTITY_ORACLE = ("SELECT doc_id, text AS extracted FROM documents "
 
 
 def _embed_kernel(batches: Iterator) -> Iterator:
+    """Featurizer parity kernel with an EXACT SQL twin: the signed
+    bucket counts of the hashing-trick embedding (kernels/embed.py —
+    md5 bucket + 9th-hex-digit sign) are integers, so ``l1/sqrt(sumsq)``
+    and the bucket-weighted count sum are bit-identical float64/int64 on
+    both engines (IEEE div/sqrt are correctly rounded; no float32
+    accumulation-order dependence). The shipped ``embed_text`` is also
+    run per row and must agree with the integer reconstruction — so the
+    driver's value-hash transitively covers the real featurizer."""
+    import math
+
+    import numpy as np
     import pandas as pd
+
+    from ..kernels.embed import EMBED_DIM, _TOKEN_RE, _bucket
     for pdf in batches:
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            # checksum of the embedding (rounded) — SQL-comparable scalar
-            "embed_checksum": [
-                round(float(sum(abs(v) for v in embed_text(t))), 4)
-                for t in pdf["text"]],
-        })
+        rows = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            t = t or ""
+            counts: dict[int, int] = {}
+            for tok in _TOKEN_RE.findall(t.lower()):
+                idx, sign = _bucket(tok, EMBED_DIM)
+                counts[idx] = counts.get(idx, 0) + (1 if sign > 0 else -1)
+            l1 = sum(abs(c) for c in counts.values())
+            sumsq = sum(c * c for c in counts.values())
+            checksum = l1 / math.sqrt(sumsq) if sumsq else 0.0
+            wsum = sum((i + 1) * c for i, c in counts.items())
+            vec = np.asarray(embed_text(t), dtype=np.float32)
+            ref = np.zeros(EMBED_DIM, dtype=np.float32)
+            for i, c in counts.items():
+                ref[i] = c
+            norm = float(np.linalg.norm(ref))
+            if norm > 0:
+                ref /= norm
+            if not np.allclose(vec, ref, atol=1e-6):
+                raise AssertionError(
+                    f"embed_text drifted from its frozen spec at doc "
+                    f"{doc_id}")
+            rows.append({"doc_id": doc_id, "embed_checksum": checksum,
+                         "bucket_weighted": wsum})
+        yield pd.DataFrame(rows, columns=["doc_id", "embed_checksum",
+                                          "bucket_weighted"])
 
 
 def _q_embed_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic-featurizer parity: the L1 norm of the normalized
-    embedding, which the oracle can't recompute in SQL — but determinism
-    across engines/runs is exactly what the rows-only re-run checks."""
     register_views(spark, sf_dir)
     return spark.table("documents").select("doc_id", "text") \
-        .mapInPandas(_embed_kernel, schema="doc_id long, embed_checksum double") \
+        .mapInPandas(_embed_kernel,
+                     schema="doc_id long, embed_checksum double, "
+                            "bucket_weighted long") \
         .orderBy("doc_id")
+
+
+# DuckDB twin of the featurizer math (verified bit-exact vs the Python
+# integer path on the driver testdata): tokens [a-z0-9]+ over lowercased
+# text, bucket = int(md5[:8],16) % 64, sign = parity of md5[8].
+_EMBED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         cast(cast(concat('0x', substr(md5(tok), 1, 8)) as bigint) % 64
+              as int) AS bucket,
+         CASE WHEN cast(concat('0x', substr(md5(tok), 9, 1)) as bigint)
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks),
+vec AS (SELECT doc_id, bucket, cast(sum(sgn) as bigint) AS v
+        FROM b GROUP BY doc_id, bucket),
+agg AS (SELECT doc_id,
+               cast(sum(abs(v)) as bigint) AS l1,
+               cast(sum(v * v) as bigint) AS sumsq,
+               cast(sum((bucket + 1) * v) as bigint) AS wsum
+        FROM vec GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(a.sumsq, 0) > 0
+            THEN cast(a.l1 as double) / sqrt(cast(a.sumsq as double))
+            ELSE 0.0 END AS embed_checksum,
+       coalesce(a.wsum, 0) AS bucket_weighted
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def _make_payload(doc_id: int, kind: str) -> bytes:
@@ -213,26 +277,89 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def _make_resume_text(i: int) -> str:
+    """Deterministic synthetic resume, pure function of doc_id — the
+    ``multimodal_metadata`` pattern: every mapped field the query emits
+    is doc_id arithmetic the DuckDB oracle can state, while the parse
+    itself is the real section splitter / contact finder / group
+    parsers (kernels/resume_map.py) doing full work."""
+    i = int(i)
+    langs = ["English - C1", "Italian - Native", "French - B2"]
+    hobbies = ["chess", "rowing", "baking", "astronomy"]
+    lines = [
+        "Alex Carter",
+        f"Email: user{i}@example.org",
+        f"Phone: +39 0255 123 {100 + i % 900}",
+        "",
+        "EDUCATION",
+        "",
+    ]
+    for j in range(1 + i % 3):
+        lines += ["Master in Physics",
+                  f"University of Testing {j}",
+                  "2010 - 2014", ""]
+    lines += ["WORK EXPERIENCE", ""]
+    for j in range(1 + i % 2):
+        lines += [f"Acme Corp {j}",
+                  "Software Engineer 01/2015 - 12/2018",
+                  ""]
+    lines += ["LANGUAGES", ""]
+    lines += langs[: 1 + i % 3] + [""]
+    lines += ["INTERESTS", "", ", ".join(hobbies[: 2 + i % 3])]
+    return "\n".join(lines)
+
+
 def _resume_kernel(batches: Iterator) -> Iterator:
     import pandas as pd
     for pdf in batches:
         rows = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            r = map_resume("SUMMARY\n" + text, [])
+        for doc_id in pdf["doc_id"]:
+            r = map_resume(_make_resume_text(doc_id), [])
+            pi = r["personal_information"] or {}
             rows.append({
                 "doc_id": doc_id,
+                "email": pi.get("email"),
+                "phone_prefix": pi.get("phone_prefix"),
+                "phone": pi.get("phone"),
+                "n_education": len(r["education_details"] or []),
+                "n_experience": len(r["experience_details"] or []),
+                "n_languages": len(r["languages"] or []),
+                "n_interests": len(r["interests"] or []),
                 "n_sections": sum(1 for v in r.values() if v),
             })
-        yield pd.DataFrame(rows, columns=["doc_id", "n_sections"])
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "email", "phone_prefix", "phone", "n_education",
+            "n_experience", "n_languages", "n_interests", "n_sections"])
 
 
 def _q_resume_map_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resume mapper smoke over arbitrary text (rows-only check; the
-    real mapper goldens live in tests/test_resume_map.py)."""
+    """Resume mapper with a value-exact oracle: synthetic resumes whose
+    mapped contact fields and per-section entry counts are predictable
+    doc_id arithmetic (the real-PDF fidelity goldens live in
+    tests/test_resume_map.py vs the reference's own cv_output)."""
     register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id", "text") \
-        .mapInPandas(_resume_kernel, schema="doc_id long, n_sections int") \
+    return spark.table("documents").select("doc_id") \
+        .mapInPandas(_resume_kernel,
+                     schema="doc_id long, email string, "
+                            "phone_prefix string, phone string, "
+                            "n_education int, n_experience int, "
+                            "n_languages int, n_interests int, "
+                            "n_sections int") \
         .orderBy("doc_id")
+
+
+_RESUME_MAP_ORACLE = """
+SELECT doc_id,
+       'user' || cast(doc_id as varchar) || '@example.org' AS email,
+       '+39' AS phone_prefix,
+       '0255 123 ' || cast(100 + doc_id % 900 as varchar) AS phone,
+       cast(1 + doc_id % 3 as int) AS n_education,
+       cast(1 + doc_id % 2 as int) AS n_experience,
+       cast(1 + doc_id % 3 as int) AS n_languages,
+       cast(2 + doc_id % 3 as int) AS n_interests,
+       cast(5 as int) AS n_sections
+FROM documents ORDER BY doc_id
+"""
 
 
 def extract_queries() -> dict:
@@ -250,5 +377,6 @@ def extract_oracles() -> dict:
         "extract_html_identity": _IDENTITY_ORACLE,
         "extract_pdf_identity": _IDENTITY_ORACLE,
         "multimodal_metadata": _MULTIMODAL_ORACLE,
-        # embed_checksum / resume_map_sections: rows-only (non-SQL kernels)
+        "embed_checksum": _EMBED_ORACLE,
+        "resume_map_sections": _RESUME_MAP_ORACLE,
     }
