@@ -723,10 +723,16 @@ SELECT md5(text) AS fingerprint, count(*) AS n_copies,
 FROM documents GROUP BY md5(text)
 ORDER BY keeper_doc_id""")
 
-    # document fingerprinting (normalized hash)
-    c["doc_fingerprint"] = _sql("""
-SELECT doc_id, md5(lower(trim(text))) AS fingerprint
-FROM documents ORDER BY doc_id""")
+    # IVF ANN (operators/ivf.py) at full probe — nprobe = n_cells
+    # reproduces brute-force cosine top-k EXACTLY (the approximation is
+    # only the probe set), so the brute-force SQL is a value-exact
+    # oracle; pruned-probe recall contracts live in tests/test_ivf.py.
+    # (Replaced doc_fingerprint, which was redundant with dedup_exact.)
+    def _run_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .ivf import ivf_topk
+        return ivf_topk(spark, sf_dir, n_queries=3, k=5, n_cells=16,
+                        nprobe=16, dim=64)
+    c["ivf_topk"] = (_run_ivf, _ann_topk_sql("duck"))
 
     # MinHash signatures
     c["minhash_signatures"] = _sql(_minhash_sql("spark"),
@@ -735,9 +741,17 @@ FROM documents ORDER BY doc_id""")
     # SimHash
     c["simhash"] = _sql(_simhash_sql("spark"), duck_sql=_simhash_sql("duck"))
 
-    # shingles
-    c["shingle_stats"] = _sql(_shingle_sql("spark"),
-                              duck_sql=_shingle_sql("duck"))
+    # incremental-dedup band index (operators/incremental.py): per-doc
+    # MinHash band signatures, the append-only index row format of the
+    # batch-vs-corpus near-dup workflow. (Replaced shingle_stats, which
+    # ngram_jaccard_pairs subsumes; its zero-join plan shape is still
+    # asserted in tests/test_functions_plans.py from _shingle_sql.)
+    def _run_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .incremental import band_signatures_sql
+        register_views(spark, sf_dir)
+        return spark.sql(band_signatures_sql("spark"))
+    from .incremental import band_signatures_sql as _bands_sql
+    c["band_signatures"] = (_run_bands, _bands_sql("duck"))
 
     # n-gram Jaccard near-dup pairs
     c["ngram_jaccard_pairs"] = _sql(_ngram_jaccard_sql("spark"),

@@ -44,8 +44,10 @@ def _norm(col: str):
                               lambda acc, v: acc + v))
 
 
-def _centroids(emb: DataFrame, n_cells: int) -> DataFrame:
-    """Hash-picked seeds + one Lloyd refinement round."""
+def _centroids(emb: DataFrame, n_cells: int,
+               dim: int | None = None) -> DataFrame:
+    """Hash-picked seeds + one Lloyd refinement round. Pass ``dim`` to
+    keep the builder action-free; None falls back to a 1-row probe."""
     seeds = (emb
              .withColumn("h", F.conv(F.substring(
                  F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
@@ -54,7 +56,8 @@ def _centroids(emb: DataFrame, n_cells: int) -> DataFrame:
              .select(F.row_number().over(Window.orderBy("h"))
                      .alias("cell"), F.col("embedding").alias("centroid")))
     assigned = _assign_to(emb, seeds)
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     refined = (assigned.join(emb, "vec_id")
                .groupBy("cell")
                .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}")
@@ -66,17 +69,26 @@ def _centroids(emb: DataFrame, n_cells: int) -> DataFrame:
 
 
 def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest centroid by cosine, centroids broadcast."""
+    """(vec_id, cell): nearest centroid by cosine, centroids broadcast.
+
+    A grouped max_by, NOT a row_number window: the window formulation
+    sort-shuffled every one of the N*n_cells scored rows; an aggregate
+    keeps map-side partial aggregation, so only N (vec_id, buffer)
+    pairs cross the wire — the difference at 10^9 vectors. Tie-break
+    matches the old window exactly: highest sim, then lowest cell (the
+    (sim, -cell) ordering struct)."""
     scored = (emb.crossJoin(F.broadcast(cents))
               .withColumn("sim", _dot("embedding", "centroid") /
                           (_norm("embedding") * _norm("centroid"))))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter("rk = 1").select("vec_id", "cell"))
+    return (scored.groupBy("vec_id")
+            .agg(F.max_by("cell", F.struct(
+                F.col("sim").alias("s"),
+                (-F.col("cell")).alias("nc"))).alias("cell"))
+            .select("vec_id", "cell"))
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str, n_cells: int = 16,
-               emb: DataFrame | None = None
+               emb: DataFrame | None = None, dim: int | None = None
                ) -> tuple[DataFrame, DataFrame]:
     """(assignment, centroids) for the embeddings table. Centroids are
     MATERIALIZED to a literal 16-row local relation (not persist()ed —
@@ -85,19 +97,20 @@ def ivf_assign(spark: SparkSession, sf_dir: str, n_cells: int = 16,
     if emb is None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
             .select("vec_id", "embedding")
-    rows = _centroids(emb, n_cells).collect()
+    rows = _centroids(emb, n_cells, dim).collect()
     cents = spark.createDataFrame(rows, "cell int, centroid array<double>")
     return _assign_to(emb, cents), cents
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 3,
-             k: int = 5, n_cells: int = 16, nprobe: int = 4) -> DataFrame:
+             k: int = 5, n_cells: int = 16, nprobe: int = 4,
+             dim: int | None = None) -> DataFrame:
     """Top-k neighbors for the first ``n_queries`` vec_ids, scoring only
     vectors whose cell is among each query's ``nprobe`` nearest
     centroids. Returns (query_id, neighbor_id, cos_sim, rk)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
-    assigned, cents = ivf_assign(spark, sf_dir, n_cells, emb=emb)
+    assigned, cents = ivf_assign(spark, sf_dir, n_cells, emb=emb, dim=dim)
     queries = emb.filter(F.col("vec_id") < n_queries) \
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qvec"))

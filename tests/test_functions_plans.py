@@ -142,12 +142,13 @@ def test_neardup_pairs_plan_shape(spark):
 
 
 def test_shingles_build_without_joins(spark):
-    """shingle_stats is a pure map (array slicing) + one aggregation —
-    the r01 5-way positional self-join (5 token-corpus shuffles) is
-    gone. Exactly 1 exchange: the final groupBy(doc_id)."""
-    from resume_parser_service_spark.operators.catalog import build_catalog
-    fn, _ = build_catalog()["shingle_stats"]
-    df = fn(spark, SF_DIR)
+    """The shingle relation is a pure map (array slicing) + one
+    aggregation — the r01 5-way positional self-join (5 token-corpus
+    shuffles) is gone. Exactly 1 exchange: the final groupBy(doc_id)."""
+    from resume_parser_service_spark.operators.catalog import (
+        _shingle_sql, register_views)
+    register_views(spark, SF_DIR)
+    df = spark.sql(_shingle_sql("spark"))
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     import re

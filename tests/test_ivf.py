@@ -27,12 +27,28 @@ def _topk_sets(df):
 
 
 def test_assignment_total_and_bounded(spark):
-    assigned, cents = ivf.ivf_assign(spark, SF_DIR, n_cells=N_CELLS)
+    assigned, cents = ivf.ivf_assign(spark, SF_DIR, n_cells=N_CELLS,
+                                     dim=64)
     assert assigned.count() == 500            # every vector in a cell
     assert assigned.select("vec_id").distinct().count() == 500
     n_cells = assigned.select("cell").distinct().count()
     assert 2 <= n_cells <= N_CELLS
     assert cents.count() == N_CELLS
+
+
+def test_assignment_is_aggregate_not_window(spark):
+    """The nearest-centroid assignment must be a partial+final
+    aggregation (N buffer rows shuffle), never a row_number window
+    (which sort-shuffles all N*n_cells scored rows): exactly one
+    exchange, no Window node."""
+    import re
+    assigned, _ = ivf.ivf_assign(spark, SF_DIR, n_cells=N_CELLS, dim=64)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan          # map-side combine exists
+    n_shuffles = len(re.findall(
+        r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles <= 1, plan
 
 
 def test_full_probe_equals_bruteforce(spark):
