@@ -34,7 +34,7 @@ from __future__ import annotations
 import time
 from typing import Iterator
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernels import embed, html_text, pdf_text, resume_map
@@ -265,9 +265,25 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)"
                ")))) as double) / (size(split(text, ' ')) - 1) "
                "ELSE 0.0 END, 6)")))
-    w = Window.partitionBy("fingerprint")
-    canonical = F.min("url").over(w)
-    return out.withColumn(
-        "content_dup_of",
-        F.when(F.col("url") == canonical, F.lit(None).cast("string"))
-         .otherwise(canonical))
+    # Content-dup canonical via an aggregate over the (fingerprint, url)
+    # PROJECTION + broadcast join — only key pairs ever shuffle. The r2
+    # Window.partitionBy(fingerprint) formulation shuffled every
+    # enriched column (the plan's only avoidable full-width exchange);
+    # the dup-canonical map (fingerprints with >1 copy only) is orders
+    # of magnitude smaller than the corpus, so it broadcasts. NB: the
+    # map is a SECOND traversal of the input frame — callers persist
+    # the kernel output first (pipeline/run.py does) so this reads the
+    # cache instead of re-running extraction.
+    dup_map = (out.select("fingerprint", "url")
+               .groupBy("fingerprint")
+               .agg(F.min("url").alias("_canonical_url"),
+                    F.count(F.lit(1)).alias("_n_copies"))
+               .filter(F.col("_n_copies") > 1)
+               .select("fingerprint", "_canonical_url"))
+    return (out.join(F.broadcast(dup_map), "fingerprint", "left")
+            .withColumn(
+                "content_dup_of",
+                F.when(F.col("url") == F.col("_canonical_url"),
+                       F.lit(None).cast("string"))
+                 .otherwise(F.col("_canonical_url")))
+            .drop("_canonical_url"))

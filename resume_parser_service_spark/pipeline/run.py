@@ -86,8 +86,6 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     # and NOT committed, mirroring the service's HTTP-400 path
     # (/root/reference/app/routers/resume_ingestor_router.py:304-321).
     extracted = validate_extracted(extracted)
-    if enrich:
-        extracted = enrich_extracted(extracted)
     has_verr = F.size("validation_errors") > 0
     extracted = extracted.withColumn(
         "status", F.when((F.col("status") == "ok") & has_verr,
@@ -98,10 +96,15 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
                               F.lit("InvalidResumeDataError"))
                         .otherwise(F.col("error_class")))
     # One materialization of the kernel output; everything below reuses
-    # it. Keep the handle — `extracted` is rebound below (neardup join),
-    # and unpersisting the rebound plan would leak the cached kernel
-    # output for the session (one leak per batch in an ingest loop).
+    # it. Persist BEFORE enrich: enrich's content-dup map aggregates a
+    # second (column-pruned) traversal of the frame, which must read
+    # this cache, never re-run the extraction kernel. Keep the handle —
+    # `extracted` is rebound below (enrich, neardup join), and
+    # unpersisting a rebound plan would leak the cached kernel output
+    # for the session (one leak per batch in an ingest loop).
     extracted = kernel_out = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    if enrich:
+        extracted = enrich_extracted(extracted)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)
     new_bands = None
     try:

@@ -141,6 +141,27 @@ def test_neardup_pairs_plan_shape(spark):
     assert "zip_with" in plan or "aggregate(" in plan
 
 
+def test_enrich_dup_map_shuffles_only_key_pairs(spark, docs):
+    """enrich_extracted's content-dup canonical: the only hash shuffle
+    in the plan is the (fingerprint, url) aggregation — the full-width
+    enriched frame joins the dup map via broadcast, never moves (the r2
+    Window.partitionBy(fingerprint) shuffled every column)."""
+    import re
+
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted)
+    frame = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        "text")
+    df = enrich_extracted(frame)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) == 1
+    # the one shuffle is keyed on fingerprint (the pruned dup-map agg)
+    args = re.findall(r"(?m)^Arguments: hashpartitioning\((\w+)", plan)
+    assert args == ["fingerprint"], plan
+
+
 def test_shingles_build_without_joins(spark):
     """The shingle relation is a pure map (array slicing) + one
     aggregation — the r01 5-way positional self-join (5 token-corpus
