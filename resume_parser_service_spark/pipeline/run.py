@@ -177,10 +177,21 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
         audit_tbl.commit(audit.unionByName(rej_audit))
 
         compacted = None
-        if (compact_after is not None and
-                len(extracted_tbl.live_snapshots()) >= compact_after):
-            compacted = extracted_tbl.compact(spark)
-            extracted_tbl.expire_snapshots()
+        if compact_after is not None:
+            if len(extracted_tbl.live_snapshots()) >= compact_after:
+                compacted = extracted_tbl.compact(spark)
+                extracted_tbl.expire_snapshots()
+            # the audit log and band index also land one snapshot per
+            # batch, and every resume_filter / index read re-lists and
+            # re-reads all of them — same small-file fix, but in
+            # append-preserving mode (multiple rows per url; a
+            # latest-per-key rewrite would drop band rows and audit
+            # history)
+            for tbl in (audit_tbl, bands_tbl):
+                if (tbl is not None and
+                        len(tbl.live_snapshots()) >= compact_after):
+                    tbl.compact(spark, mode="append")
+                    tbl.expire_snapshots()
 
         return {"run_id": run_id, "extracted": n_extracted,
                 "rejected": n_rejected, "snapshot_id": snapshot_id,

@@ -333,20 +333,35 @@ class SnapshotTable:
         return files
 
     def compact(self, spark: SparkSession,
-                target_file_mb: int = 128) -> dict:
+                target_file_mb: int = 128, mode: str = "current") -> dict:
         """Bin-pack compaction (Iceberg ``rewrite_data_files`` +
-        dangling-delete removal): rewrite the resolved current state —
-        one row per key, tombstones dropped — as ONE new snapshot sized
-        to ``target_file_mb`` files, which replaces every prior
+        dangling-delete removal): rewrite the table as ONE new snapshot
+        sized to ``target_file_mb`` files, which replaces every prior
         snapshot. Time travel to pre-compaction versions keeps working
         until ``expire_snapshots`` reclaims them. At 100 TB this is the
         small-file defense: a streaming/incremental ingest lands
         thousands of delta files whose per-file overhead (footer reads,
-        task scheduling) dominates scans until they're rewritten."""
+        task scheduling) dominates scans until they're rewritten.
+
+        ``mode="current"``: rewrite the resolved latest-per-key state
+        (replace-on-key tables). ``mode="append"``: rewrite ALL live
+        rows verbatim — for append-only tables holding several rows per
+        key (the audit log, the near-dup band index), where
+        latest-per-key resolution would silently drop rows; tombstoned
+        keys still disappear entirely."""
+        from pyspark.sql import functions as F
         snaps = self.live_snapshots()
         if not snaps:
             return {"compacted": 0, "snapshot_id": None}
-        cur = self.read_current(spark)
+        if mode == "append":
+            df = self.read(spark)
+            dead = df.filter(F.col("_deleted")) \
+                .select(self.key_col).distinct()
+            cur = (df.filter(~F.col("_deleted"))
+                   .join(dead, self.key_col, "left_anti")
+                   .drop("_deleted"))
+        else:
+            cur = self.read_current(spark)
         total_bytes = sum(e.get("bytes", 0) for s in snaps
                           for e in (s.get("files") or []))
         n_files = max(1, -(-total_bytes // (target_file_mb << 20)))

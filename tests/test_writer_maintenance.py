@@ -253,3 +253,40 @@ def test_concurrent_commit_loser_raises_not_clobbers(spark, tmp_path):
     # (grace disabled — in production the 1 h default would retain it)
     orphans = tbl.remove_orphans(older_than_s=0.0)
     assert len(orphans) == 1 and "winner" not in orphans[0]
+
+
+def test_ingest_loop_compacts_audit_and_bands(spark, tmp_path):
+    """compact_after bounds snapshot count on ALL three tables of the
+    ingest loop — not just resumes_extracted. The audit log and band
+    index compact in append-preserving mode: every url keeps its full
+    band-row set (4 bands/url) and its audit row, and resume semantics
+    still hold off the compacted audit."""
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.run import run_extraction_job
+    from resume_parser_service_spark.sources.pages import build_pages_df
+
+    out = str(tmp_path / "out")
+    pages = build_pages_df(spark, 40)
+    for k in range(4):
+        batch = pages.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == k)
+        run_extraction_job(spark, batch, out, compact_after=2,
+                           neardup_index=True)
+    audit = SnapshotTable(out + "/extraction_audit")
+    bands = SnapshotTable(out + "/neardup_bands")
+    assert len(audit.live_snapshots()) <= 2
+    assert len(bands.live_snapshots()) <= 2
+    # append-preserving: one audit row per processed url (no history
+    # dropped, no duplication introduced by the rewrite)
+    audit_rows = audit.read(spark)
+    assert audit_rows.count() == \
+        audit_rows.select("url").distinct().count()
+    # ...and the band index keeps the full multi-row-per-url shape
+    band_counts = (bands.read(spark).groupBy("url")
+                   .agg(F.countDistinct("band_id").alias("n"))
+                   .select("n").distinct().collect())
+    assert [r["n"] for r in band_counts] == [4]
+    # resume off the compacted audit is still a no-op
+    again = run_extraction_job(spark, build_pages_df(spark, 40), out,
+                               compact_after=2, neardup_index=True)
+    assert again["resumed_noop"] is True
