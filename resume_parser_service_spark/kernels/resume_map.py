@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.4.1"
+KERNEL_VERSION = "map-1.5.0"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -357,7 +357,14 @@ def _strip_trailing_location(line: str) -> tuple[str, str | None]:
     trailing word counts as a location only when it is a known country
     name ('BlockChain Rush Italy' — but never 'Trinity College')."""
     m = _TRAIL_LOC_RE.match(line)
-    if m:
+    if m and not re.match(r"^(?:University|College|Institute|School"
+                          r"|Politecnico|Academy)\b", m.group(2)):
+        return m.group(1), m.group(2)
+    # "Columbia University, NY": the name itself contains the comma
+    # pair — trailing single-word state/city, not a "<name> <City,
+    # Country>" render (map-1.5.0)
+    m = _LOCATION_RE.match(line)
+    if m and len(m.group(2).split()) == 1:
         return m.group(1), m.group(2)
     m = re.match(r"^(.*\S)\s+([A-Z][a-zA-Z]{2,})$", line)
     if m and m.group(2) in _COUNTRIES:
@@ -404,6 +411,30 @@ def _education_group(g: list[str]) -> dict:
         em = re.match(r"^Exam\s+(.+?)\s*:\s*(.+)$", ln)
         if em:
             exam[em.group(1)] = em.group(2)
+            continue
+        # "Bachelor of Science: Computer Information Systems -" (colon
+        # degree/field form; trailing dash is a wrapped column artifact)
+        dm = re.match(r"^(.+?)\s*:\s*(.+?)[\s\-–—]*$", ln)
+        if dm and edu["education_level"] is None \
+                and _DEGREE_RE.match(dm.group(1)):
+            # anchored: the label must BE a degree ("Bachelor of
+            # Science: X"), not merely mention one ("Expected degree
+            # mark: 110/110" — a Europass form label)
+            edu["education_level"] = dm.group(1)
+            edu["field_of_study"] = dm.group(2)
+            continue
+        # bare graduation year on its own (column-wrapped) line
+        if re.fullmatch(r"(?:19|20)\d{2}", ln) \
+                and edu["year_of_completion"] is None:
+            edu["year_of_completion"] = ln
+            continue
+        # ALL-CAPS degree prefix glued to the institution by two-column
+        # linearization ("MASTER'S DEGREE Università degli Studi ...")
+        gm2 = re.match(r"^((?:Master|Bachelor)'?s?\s+Degree)\s+(.{4,})$",
+                       ln, re.I)
+        if gm2 and edu["education_level"] is None:
+            edu["education_level"] = gm2.group(1)
+            rest.append(gm2.group(2))
             continue
         im = re.match(r"^(.+?)\s+in\s+(.+)$", ln)
         if im and edu["education_level"] is None and im.group(1) in (
@@ -467,6 +498,14 @@ def _experience_group(g: list[str]) -> dict:
     if body is g:  # legacy position-first forms
         for i, ln in enumerate(g):
             if i == 0:
+                pm = _PERIOD_INLINE_RE.search(ln)
+                if pm:
+                    # single-line header "Web Developer - 09/2015 to
+                    # 05/2019" (map-1.5.0): the period is part of the
+                    # header, not the position text
+                    exp["employment_period"] = pm.group(0)
+                    ln = (ln[:pm.start()] + ln[pm.end():]).strip()
+                    ln = re.sub(r"[\s\-–—,|:]+$", "", ln)
                 m = re.match(r"^(.+?)\s+at\s+(.+)$", ln)
                 if m:
                     exp["position"], exp["company"] = m.group(1), m.group(2)
@@ -475,7 +514,9 @@ def _experience_group(g: list[str]) -> dict:
                     if m2:
                         exp["position"], exp["company"] = (m2.group(1),
                                                            m2.group(2))
-                    else:
+                    elif ln:
+                        # a bare-period header line leaves no position
+                        # text — keep None, not ""
                         exp["position"] = ln
                 body = g[1:]
                 break
@@ -497,6 +538,14 @@ def _experience_group(g: list[str]) -> dict:
                                        else ln))
             continue
         lm = _LOCATION_RE.match(ln)
+        if (lm and exp["company"] is None and exp["location"] is None
+                and exp["employment_period"] is not None and not resp
+                and len(lm.group(1).split()) >= 2):
+            # "Luna Web Design, New York" right under a period-carrying
+            # header is Company, City (map-1.5.0); a single-word head
+            # stays a plain location ("Genoa, Italy")
+            exp["company"], exp["location"] = lm.group(1), lm.group(2)
+            continue
         if lm and exp["location"] is None:
             exp["location"] = ln
             continue
@@ -547,11 +596,15 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
     certifications: list[dict] = []
     languages: list[dict] = []
     interests: list[str] = []
+    education_seen = False
+    lang_leftovers: list[str] = []  # non-language lines + trimmed
+    # suffixes captured by an interleaved Languages panel (map-1.5.0)
 
     for kind, lines in _split_sections(text):
         if kind == "head":
             out["personal_information"] = _personal(lines, links, text)
         elif kind == "education":
+            education_seen = True
             for g in _groups(lines):
                 head = g[0].lower()
                 # routing rules (prompt.py:16-20)
@@ -588,14 +641,21 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                         # token, or a clean single-word language name)
                         lm = _LEVEL_RE.match(prof)
                         if lm:
+                            suffix = prof[lm.end():].strip(" ,;")
+                            if suffix:
+                                lang_leftovers.append(suffix)
                             prof = lm.group(0)
                         if lm or (len(lang.split()) == 1
                                   and not re.search(r"[\d()]", lang)):
                             languages.append({"language": lang,
                                               "proficiency": prof})
+                        else:
+                            lang_leftovers.append(ln)
                     elif re.fullmatch(r"[A-Z][a-z]{2,14}", ln):
                         languages.append({"language": ln,
                                           "proficiency": None})
+                    else:
+                        lang_leftovers.append(ln)
         elif kind == "interests":
             for g in _groups(lines):
                 for ln in g:
@@ -643,6 +703,15 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                 if pm:
                     languages.append({"language": pm.group(1).strip(),
                                       "proficiency": pm.group(2).strip()})
+
+    if not education and education_seen and lang_leftovers:
+        # two-column interleave swallowed the Education body into the
+        # Languages panel (resume2 shape): the non-language lines and
+        # the prose trimmed off proficiency cells, in document order,
+        # ARE the education entry (map-1.5.0)
+        entry = _education_group(lang_leftovers)
+        if any(v for k, v in entry.items() if k != "exam"):
+            education.append(entry)
 
     if education:
         out["education_details"] = education

@@ -269,8 +269,8 @@ def test_reference_golden_language_recall():
 
 
 def test_personal_info_nonnull_coverage():
-    """email+phone+surname non-null on >=4/5 reference PDFs
-    (VERDICT.md round-1 'done' bar for mapper fidelity)."""
+    """name+email+phone+surname non-null on ALL 5 reference PDFs
+    (ratcheted from 4/5 in r3 — the r2 bar; VERDICT.md r2 item 3)."""
     import os
 
     import pytest
@@ -279,13 +279,43 @@ def test_personal_info_nonnull_coverage():
 
     if not os.path.exists("/root/reference/CVENG.pdf"):
         pytest.skip("reference fixtures not present")
-    ok = 0
     for name in ["CVENG", "FedericoElia", "resume1", "resume2", "resume3"]:
         r = extract_pdf(open(f"/root/reference/{name}.pdf", "rb").read())
         pi = map_resume(r["text"], r["links"])["personal_information"]
-        if all(pi.get(k) for k in ("email", "phone", "surname")):
-            ok += 1
-    assert ok >= 4
+        assert all(pi.get(k) for k in ("name", "email", "phone",
+                                       "surname")), name
+
+
+def test_reference_golden_section_recall_floors():
+    """Ratcheted per-section scalar-field recall vs the reference's own
+    goldens (the COVERAGE.md table; metric in tools/mapper_recall.py —
+    LLM-inferred fields like `industry` excluded). FedericoElia's one
+    experience miss is the golden's date typo (PDF reads 11/2023, the
+    golden says 11/2022); CVENG's education/experience floor is the
+    known Europass two-column interleave limit."""
+    import json
+    import os
+
+    import pytest
+
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+    from tools.mapper_recall import CASES, section_recall
+
+    if not os.path.exists("/root/reference/cv_output/worse.json"):
+        pytest.skip("reference goldens not present")
+    floors = {  # (education min-ratio, experience min-ratio)
+        "CVENG.pdf": (0.25, 0.0),
+        "FedericoElia.pdf": (1.0, 11 / 12),
+        "resume2.pdf": (1.0, 1.0),
+    }
+    for pdf, golden in CASES.items():
+        r = extract_pdf(open(f"/root/reference/{pdf}", "rb").read())
+        ours = map_resume(r["text"], r["links"])
+        ref = json.load(open(f"/root/reference/cv_output/{golden}"))
+        for sec, floor in zip(("education_details", "experience_details"),
+                              floors[pdf]):
+            m, t = section_recall(ours.get(sec), ref.get(sec))
+            assert t == 0 or m / t >= floor, (pdf, sec, m, t)
 
 
 def test_reference_golden_section_recall():
