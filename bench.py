@@ -27,7 +27,8 @@ HEADLINE_QUERIES = [
     "explode_top_tokens", "json_extract_props",
     "dedup_exact", "minhash_signatures", "simhash",
     "ngram_jaccard_pairs", "embedding_neardup_pairs", "dedup_clusters",
-    "ann_topk_bruteforce", "ann_lsh_buckets",
+    "ann_topk_bruteforce", "ann_lsh_buckets", "ivf_topk",
+    "band_signatures",
     "token_count", "quality_score", "lang_id_heuristic",
     "extract_html_identity", "extract_pdf_identity",
 ]

@@ -583,6 +583,163 @@ def _named_desc_group(g: list[str]) -> dict:
             "description": " ".join(g[1:]) if len(g) > 1 else None}
 
 
+# --- Europass experience reconstruction (map-1.5.0) -----------------
+# Europass exports render experience as a two-column grid whose
+# linearization interleaves position/company/sector/location/period
+# (left) with activity prose (right) AND sidebar panels — the section
+# parser sees soup. But the grid leaves exact anchors in the text:
+# one "MM/YYYY - MM/YYYY" period line per entry, "Main activities and
+# responsibilities:" glued to the position, "Company sector:" carrying
+# the industry, an ALL-CAPS company line, and a "CITY (XX)" location.
+_EU_PERIOD_RE = re.compile(
+    r"^(\d{2}/\d{4})\s*[-–—‐]\s*(\d{2}/\d{4}|Present|present|Ongoing)")
+_EU_LOC_RE = re.compile(r"^((?:[A-ZÀ-Þ]+\s+)?\([A-Z]{2}\))")
+_EU_SECTOR_RE = re.compile(r"Company sector:\s*(.*)$")
+_EU_CAPS_TOK = re.compile(r"^[A-ZÀ-Þ][A-ZÀ-Þ0-9.'&()-]*$")
+_EU_MAIN = "Main activities and responsibilities:"
+
+
+def _eu_company(lines: list[str], window: range) -> str | None:
+    """Last line in the window that is (after stripping glued CEFR
+    cells) entirely ALL-CAPS tokens — the company cell. Panel headers
+    (FOREIGN LANGUAGE SKILLS...) are excluded via _header_kind, the
+    location cell via its own pattern."""
+    best = None
+    for i in window:
+        ln = lines[i]
+        if not ln or ":" in ln or _EU_LOC_RE.match(ln) \
+                or _header_kind(ln) is not None:
+            continue
+        toks = ln.split()
+        while toks and re.fullmatch(r"[ABC][12]", toks[0]):
+            toks = toks[1:]
+        if toks and all(_EU_CAPS_TOK.match(t) for t in toks) \
+                and len(" ".join(toks)) >= 4:
+            best = " ".join(toks)
+    return best
+
+
+def _eu_industry(lines: list[str], a: int, window: range) -> str | None:
+    """'Company sector:' value for the entry anchored at line ``a`` —
+    first occurrence at/just after the anchor, else the last one in the
+    entry's own window; the value may sit on the same line, wrap onto a
+    short lowercase continuation, or land on the next clean line."""
+    hit = None
+    for i in range(a, min(a + 4, len(lines))):
+        m = _EU_SECTOR_RE.search(lines[i])
+        if m:
+            hit = (i, m)
+            break
+    if hit is None:
+        for i in window:
+            m = _EU_SECTOR_RE.search(lines[i])
+            if m:
+                hit = (i, m)
+    if hit is None:
+        return None
+    i, m = hit
+    val = m.group(1).strip()
+    if not val:
+        # value on a following clean line (short, no colon, no panel)
+        for j in range(i + 1, min(i + 3, len(lines))):
+            nxt = lines[j].strip()
+            if (nxt and ":" not in nxt and len(nxt) < 40
+                    and "\xa0" not in nxt
+                    and _header_kind(nxt) is None
+                    and not _EU_PERIOD_RE.match(nxt)):
+                return nxt
+        return None
+    nxt = lines[i + 1].strip() if i + 1 < len(lines) else ""
+    # wrapped continuation: only when the same-line value is clearly
+    # cut short ("Information" / "Engineering and") — a complete value
+    # ("Information systems, EDP") must not eat the next line
+    if nxt and nxt[0].islower() and len(nxt) <= 20 and len(val) <= 16:
+        val = f"{val} {nxt}"
+    return val
+
+
+_EU_EDU_RE = re.compile(r"^((?:MASTER|BACHELOR)'S DEGREE)\s+(.{4,})$")
+_EU_MARK_RE = re.compile(r"(?:Expected|Final) degree mark:\s*(.+)$")
+_EU_YEARS_RE = re.compile(r"^(\d{4})\s*[-–—‐]\s*(\d{4}|Present|Ongoing)")
+_EU_FIELD_CAPS = re.compile(r"^[A-ZÀ-Þ]{4,}$")
+_EU_FIELD_DEG = re.compile(r"level degree in ([A-Z][^|]+?)\s*$")
+
+
+def _europass_education(text: str) -> list[dict]:
+    """Europass/AlmaLaurea academic grid: entries anchor on the
+    "MASTER'S/BACHELOR'S DEGREE <institution>" cell; the year range,
+    degree mark and field land on the following (interleaved) lines."""
+    lines = [ln.strip() for ln in text.split("\n")]
+    anchors = [i for i, ln in enumerate(lines) if _EU_EDU_RE.match(ln)]
+    out = []
+    for k, a in enumerate(anchors):
+        end = anchors[k + 1] if k + 1 < len(anchors) \
+            else min(a + 14, len(lines))
+        m = _EU_EDU_RE.match(lines[a])
+        edu = {"education_level": m.group(1), "institution": m.group(2),
+               "field_of_study": None, "final_evaluation_grade": None,
+               "start_date": None, "year_of_completion": None,
+               "exam": None}
+        field_fallback = None
+        for i in range(a + 1, end):
+            ln = lines[i]
+            ym = _EU_YEARS_RE.match(ln)
+            if ym and edu["start_date"] is None:
+                edu["start_date"] = ym.group(1)
+                edu["year_of_completion"] = ym.group(2)
+                continue
+            km = _EU_MARK_RE.search(ln)
+            if km and edu["final_evaluation_grade"] is None:
+                edu["final_evaluation_grade"] = km.group(1).strip()
+                continue
+            if _EU_FIELD_CAPS.match(ln) and _header_kind(ln) is None \
+                    and edu["field_of_study"] is None:
+                # standalone ALL-CAPS word: the CERTIFIED TITLE cell
+                edu["field_of_study"] = ln
+                continue
+            fm = _EU_FIELD_DEG.search(ln)
+            if fm and field_fallback is None:
+                field_fallback = fm.group(1).strip()
+        if edu["field_of_study"] is None:
+            edu["field_of_study"] = field_fallback
+        out.append(edu)
+    return out
+
+
+def _europass_experience(text: str) -> list[dict]:
+    lines = [ln.strip() for ln in text.split("\n")]
+    anchors = [i for i, ln in enumerate(lines) if _EU_PERIOD_RE.match(ln)]
+    if len(anchors) < 2:
+        return []
+    entries = []
+    prev = max(0, anchors[0] - 10) - 1
+    for a in anchors:
+        window = range(prev + 1, a)
+        exp = {"position": None, "company": None,
+               "employment_period": None, "location": None,
+               "industry": None, "key_responsibilities": None,
+               "skills_acquired": None}
+        pm = _EU_PERIOD_RE.match(lines[a])
+        exp["employment_period"] = re.sub("[‐–—]", "-", pm.group(0)).strip()
+        for i in window:
+            if _EU_MAIN in lines[i]:
+                pos, _, rest = lines[i].partition(_EU_MAIN)
+                if pos.strip():
+                    exp["position"] = pos.strip()
+                if rest.strip():
+                    exp["key_responsibilities"] = [rest.strip()]
+                break
+        exp["company"] = _eu_company(lines, window)
+        for i in window:
+            lm = _EU_LOC_RE.match(lines[i])
+            if lm:
+                exp["location"] = lm.group(1).strip()
+        exp["industry"] = _eu_industry(lines, a, window)
+        entries.append(exp)
+        prev = a
+    return entries
+
+
 def map_resume(text: str, links: list[str] | None = None) -> dict:
     """Map extracted plain text (+ hyperlink list) into the resume dict."""
     links = links or []
@@ -703,6 +860,20 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                 if pm:
                     languages.append({"language": pm.group(1).strip(),
                                       "proficiency": pm.group(2).strip()})
+
+    if (text.count("Company sector:") >= 2 and _EU_MAIN in text):
+        # Europass export: reconstruct experience from the grid anchors
+        # (one period line per entry) instead of the interleaved soup
+        # the section parser saw (map-1.5.0)
+        eu = _europass_experience(text)
+        if len(eu) > len(experience):
+            experience = eu
+    if "degree mark:" in text:
+        # same export's academic grid ("Expected/Final degree mark" is
+        # AlmaLaurea phrasing): anchored degree cells beat the soup
+        eu_edu = _europass_education(text)
+        if eu_edu:
+            education = eu_edu
 
     if not education and education_seen and lang_leftovers:
         # two-column interleave swallowed the Education body into the
