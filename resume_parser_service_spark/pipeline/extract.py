@@ -57,8 +57,11 @@ def dedup_latest(df: DataFrame, key: str = "url",
     """One row per key, latest ``order`` wins — the replace-on-key
     upsert semantics of /root/reference/app/services/resume_service.py:
     106-182 (SURVEY.md B5). Implemented as max_by aggregation rather
-    than a row_number window: hash aggregation with map-side partial
-    combine beats a full per-partition sort at 10^12 rows.
+    than a row_number window: max_by over a struct compiles to
+    SortAggregate (struct buffers aren't hash-aggregable), but the
+    partial/final split survives — each partition pre-combines to one
+    buffer row per key before the exchange, so only KB-scale winners
+    shuffle, vs the window's full-data sort shuffle at 10^12 rows.
 
     Ties on ``order`` (common for WARC refetches of the same url) are
     broken by xxhash64 over the remaining columns, so the winner is a
