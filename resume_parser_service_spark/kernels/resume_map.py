@@ -334,6 +334,13 @@ _DEGREE_RE = re.compile(
     r"\b(Bachelor|Master|PhD|Ph\.D|Doctorate|Diploma|MBA|BSc|MSc|B\.S|M\.S"
     r"|Degree|Laurea)\b", re.I)
 
+# a COMPLETE degree phrase (for labels like "Bachelor of Science: X");
+# "Master thesis" must not qualify just because it starts with Master
+_DEGREE_LABEL_RE = re.compile(
+    r"(?:Bachelor|Master)(?:'s)?(?:\s+of\s+[A-Z][A-Za-z ]{2,30})?"
+    r"(?:\s+Degree)?|PhD|Ph\.D\.?|MBA|BSc|MSc|Doctorate|Diploma"
+    r"|High School Diploma")
+
 _TRAIL_LOC_RE = re.compile(
     r"^(.*?)\s+([A-Z][A-Za-z.'-]+,\s*[A-Z][A-Za-z .'-]+)$")
 
@@ -416,10 +423,11 @@ def _education_group(g: list[str]) -> dict:
         # degree/field form; trailing dash is a wrapped column artifact)
         dm = re.match(r"^(.+?)\s*:\s*(.+?)[\s\-–—]*$", ln)
         if dm and edu["education_level"] is None \
-                and _DEGREE_RE.match(dm.group(1)):
-            # anchored: the label must BE a degree ("Bachelor of
-            # Science: X"), not merely mention one ("Expected degree
-            # mark: 110/110" — a Europass form label)
+                and _DEGREE_LABEL_RE.fullmatch(dm.group(1)):
+            # the label must BE a degree phrase ("Bachelor of Science:
+            # X"), not merely start with a degree word ("Master
+            # thesis: X") or mention one ("Expected degree mark:
+            # 110/110" — a Europass form label)
             edu["education_level"] = dm.group(1)
             edu["field_of_study"] = dm.group(2)
             continue
@@ -429,9 +437,12 @@ def _education_group(g: list[str]) -> dict:
             edu["year_of_completion"] = ln
             continue
         # ALL-CAPS degree prefix glued to the institution by two-column
-        # linearization ("MASTER'S DEGREE Università degli Studi ...")
-        gm2 = re.match(r"^((?:Master|Bachelor)'?s?\s+Degree)\s+(.{4,})$",
-                       ln, re.I)
+        # linearization ("MASTER'S DEGREE Università degli Studi ...").
+        # Case-SENSITIVE caps: a case-insensitive match here shadowed
+        # the "Master's Degree in X" rule below and corrupted normal
+        # degree lines (r3 review finding)
+        gm2 = re.match(r"^((?:MASTER|BACHELOR)'S\s+DEGREE)\s+(.{4,})$",
+                       ln)
         if gm2 and edu["education_level"] is None:
             edu["education_level"] = gm2.group(1)
             rest.append(gm2.group(2))

@@ -49,9 +49,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # groups after the area code, so the three-group rule above misses
     # it; requiring the '(area)' prefix keeps this from eating dates or
     # prices. Runs after the generic rule so three-group numbers with a
-    # paren prefix are consumed whole, not split.
+    # paren prefix are consumed whole, not split. The 4-digit paren
+    # alternation excludes 19xx/20xx so journal citations
+    # ("J. Phys. 12 (2019) 4567-4578") survive — spelled out instead of
+    # a lookahead because RE2 (DuckDB) has none.
     ("phone_us",
-     r"(?:\+\d{1,3}[ .-]?)?\(\d{2,4}\)[ .-]?\d{2,4}[ .-]\d{3,6}",
+     r"(?:\+\d{1,3}[ .-]?)?"
+     r"\((?:\d{2,3}|0\d{3}|1[0-8]\d{2}|2[1-9]\d{2}|[3-9]\d{3})\)"
+     r"[ .-]?\d{2,4}[ .-]\d{3,6}",
      "<PHONE>"),
 ]
 

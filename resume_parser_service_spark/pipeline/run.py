@@ -103,8 +103,14 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     # unpersisting a rebound plan would leak the cached kernel output
     # for the session (one leak per batch in an ingest loop).
     extracted = kernel_out = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    enriched_out = None
     if enrich:
-        extracted = enrich_extracted(extracted)
+        # the enriched frame is persisted TOO: several downstream
+        # actions (count, table commit, audit commit, neardup join)
+        # would otherwise each re-run the dup-map aggregation + join
+        # over the kernel cache (r3 review finding)
+        extracted = enriched_out = enrich_extracted(extracted) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     rejected = rejected.persist(StorageLevel.MEMORY_AND_DISK)
     new_bands = None
     try:
@@ -199,5 +205,7 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     finally:
         kernel_out.unpersist()
         rejected.unpersist()
+        if enriched_out is not None:
+            enriched_out.unpersist()
         if new_bands is not None:
             new_bands.unpersist()

@@ -355,11 +355,18 @@ class SnapshotTable:
             return {"compacted": 0, "snapshot_id": None}
         if mode == "append":
             df = self.read(spark)
-            dead = df.filter(F.col("_deleted")) \
-                .select(self.key_col).distinct()
+            # a delete only erases rows OLDER than the tombstone —
+            # rows re-appended for the same key after the delete are
+            # live and must survive the rewrite (snapshot-id order,
+            # not mere tombstone existence)
+            dead = (df.filter(F.col("_deleted"))
+                    .groupBy(self.key_col)
+                    .agg(F.max("_snapshot_id").alias("_del_snap")))
             cur = (df.filter(~F.col("_deleted"))
-                   .join(dead, self.key_col, "left_anti")
-                   .drop("_deleted"))
+                   .join(dead, self.key_col, "left")
+                   .filter(F.col("_del_snap").isNull() |
+                           (F.col("_snapshot_id") > F.col("_del_snap")))
+                   .drop("_del_snap", "_deleted"))
         else:
             cur = self.read_current(spark)
         total_bytes = sum(e.get("bytes", 0) for s in snaps

@@ -82,6 +82,7 @@ def test_pii_scrub_column_and_sql_parity(spark):
         (7, "office (212) 555-1234 or cell +1 (917) 555-0199"),
         (8, "two ips 1.2.3.4 5.6.7.8 and more 9.8.7.6 5.4.3.2 done"),
         (9, "lignes 01.42.68.53.00 02.43.69.54.01 svp"),
+        (10, "see J. Phys. 12 (2019) 4567-4578 and Rev. B (2021) 12-345"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r.id: r.clean for r in
@@ -103,6 +104,9 @@ def test_pii_scrub_column_and_sql_parity(spark):
     # alternate-matches; the chain double-applies those rules)
     assert out[8] == "two ips <IP> <IP> and more <IP> <IP> done"
     assert out[9] == "lignes <PHONE> <PHONE> svp"
+    # journal "(year) pages" citations are NOT phones (the 4-digit
+    # paren alternation excludes 19xx/20xx)
+    assert out[10] == rows[9][1]
 
     # SQL emission matches the Column API on Spark, and DuckDB matches
     df.createOrReplaceTempView("_pii_rows")

@@ -377,3 +377,30 @@ def test_europass_panel_all_caps_mother_tongue():
     assert m["languages"] == [
         {"language": "Italian", "proficiency": "Mother tongue"},
         {"language": "English", "proficiency": "C1"}]
+
+
+def test_education_degree_label_rules_do_not_shadow():
+    """r3 review findings: the colon-degree rule must require a FULL
+    degree phrase (not 'Master thesis: X'), and the ALL-CAPS Europass
+    prefix rule must not eat 'Master's Degree in X' lines."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _education_group)
+    e = _education_group(["Master's Degree in Computer Science",
+                          "University of Genoa", "2015 - 2017"])
+    assert e["education_level"] == "Master's Degree"
+    assert e["field_of_study"] == "Computer Science"
+    assert e["institution"] == "University of Genoa"
+    e2 = _education_group(["Master thesis: Deep Learning on Graphs",
+                           "Master in Physics", "University of Genoa"])
+    assert e2["education_level"] == "Master"
+    assert e2["field_of_study"] == "Physics"
+    e3 = _education_group(
+        ["Bachelor of Science: Computer Information Systems -",
+         "2014", "Columbia University, NY"])
+    assert e3["education_level"] == "Bachelor of Science"
+    assert e3["field_of_study"] == "Computer Information Systems"
+    assert e3["institution"] == "Columbia University"
+    assert e3["year_of_completion"] == "2014"
+    e4 = _education_group(["MASTER'S DEGREE Università degli Studi"])
+    assert e4["education_level"] == "MASTER'S DEGREE"
+    assert e4["institution"] == "Università degli Studi"

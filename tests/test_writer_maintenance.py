@@ -290,3 +290,24 @@ def test_ingest_loop_compacts_audit_and_bands(spark, tmp_path):
     again = run_extraction_job(spark, build_pages_df(spark, 40), out,
                                compact_after=2, neardup_index=True)
     assert again["resumed_noop"] is True
+
+
+def test_append_compact_keeps_rows_reinserted_after_delete(spark, tmp_path):
+    """A key deleted then re-appended must survive an append-mode
+    compaction: the tombstone only erases rows OLDER than it
+    (snapshot-id order), not the key forever (r3 review finding)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0])]))
+    tbl.delete_keys(spark, ["u1"])
+    tbl.commit(_df(spark, [("u1", "a2", [1.5])]))  # re-insert after delete
+    before = {(r["url"], r["text"]) for r in
+              tbl.read(spark).filter("NOT _deleted").collect()}
+    tbl.compact(spark, mode="append")
+    tbl.expire_snapshots()
+    after_df = tbl.read(spark)
+    after = {(r["url"], r["text"]) for r in
+             after_df.filter("NOT _deleted").collect()}
+    assert ("u1", "a2") in after          # the re-insert survives
+    assert ("u1", "a") not in after       # the deleted row is gone
+    assert after == {("u1", "a2"), ("u2", "b")}
+    assert before >= after                # nothing invented
