@@ -45,27 +45,41 @@ def _norm(col: str):
 
 
 def _centroids(emb: DataFrame, n_cells: int,
-               dim: int | None = None) -> DataFrame:
-    """Hash-picked seeds + one Lloyd refinement round. Pass ``dim`` to
-    keep the builder action-free; None falls back to a 1-row probe."""
-    seeds = (emb
-             .withColumn("h", F.conv(F.substring(
-                 F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-                 .cast("bigint"))
+               dim: int | None = None,
+               train_mod: int = 5) -> DataFrame:
+    """Hash-picked seeds + one Lloyd refinement round, trained on a
+    deterministic 1/``train_mod`` hash-sample of the corpus — the faiss
+    practice: quantizer quality needs a representative sample, never a
+    full-corpus pass (at 10^9 vectors the full Lloyd round would be a
+    corpus-sized join per iteration). The sample is keyed on
+    md5(vec_id) so it is reproducible and engine-portable. Pass ``dim``
+    to keep the builder action-free; None falls back to a 1-row probe."""
+    hashed = emb.withColumn("h", F.conv(F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"))
+    train = hashed.filter(F.pmod(F.col("h"), F.lit(train_mod)) == 0) \
+        .drop("h")
+    seeds = (hashed
              .orderBy("h").limit(n_cells)
              .select(F.row_number().over(Window.orderBy("h"))
                      .alias("cell"), F.col("embedding").alias("centroid")))
-    assigned = _assign_to(emb, seeds)
+    assigned = _assign_to(train, seeds)
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
-    refined = (assigned.join(emb, "vec_id")
+    refined = (assigned.join(train, "vec_id")
                .groupBy("cell")
                .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}")
                       for i in range(dim)])
                .select("cell", F.array(*[F.col(f"c{i}")
                                          for i in range(dim)])
-                       .alias("centroid")))
-    return refined
+                       .alias("_refined")))
+    # a seed cell can lose every train vector to a neighbor — keep its
+    # seed vector then, so the quantizer always has n_cells cells
+    return (seeds.withColumn("centroid",
+                             F.col("centroid").cast("array<double>"))
+            .join(refined, "cell", "left")
+            .select("cell", F.coalesce("_refined", "centroid")
+                    .alias("centroid")))
 
 
 def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
