@@ -335,11 +335,14 @@ _DEGREE_RE = re.compile(
     r"|Degree|Laurea)\b", re.I)
 
 # a COMPLETE degree phrase (for labels like "Bachelor of Science: X");
-# "Master thesis" must not qualify just because it starts with Master
+# "Master thesis" must not qualify just because it starts with Master.
+# Case-insensitive and covering the same token set as _DEGREE_RE
+# (B.S/M.S/Laurea included) so no previously-parsed label regresses.
 _DEGREE_LABEL_RE = re.compile(
-    r"(?:Bachelor|Master)(?:'s)?(?:\s+of\s+[A-Z][A-Za-z ]{2,30})?"
-    r"(?:\s+Degree)?|PhD|Ph\.D\.?|MBA|BSc|MSc|Doctorate|Diploma"
-    r"|High School Diploma")
+    r"(?:Bachelor|Master)(?:'s)?(?:\s+of\s+[A-Za-z][A-Za-z ]{2,30})?"
+    r"(?:\s+Degree)?|PhD|Ph\.D\.?|MBA|BSc|MSc|B\.S\.?|M\.S\.?"
+    r"|Doctorate|Diploma|High School Diploma"
+    r"|Laurea(?:\s+[A-Za-z ]{2,30})?", re.I)
 
 _TRAIL_LOC_RE = re.compile(
     r"^(.*?)\s+([A-Z][A-Za-z.'-]+,\s*[A-Z][A-Za-z .'-]+)$")
@@ -441,7 +444,7 @@ def _education_group(g: list[str]) -> dict:
         # Case-SENSITIVE caps: a case-insensitive match here shadowed
         # the "Master's Degree in X" rule below and corrupted normal
         # degree lines (r3 review finding)
-        gm2 = re.match(r"^((?:MASTER|BACHELOR)'S\s+DEGREE)\s+(.{4,})$",
+        gm2 = re.match(r"^((?:MASTER|BACHELOR)'?S\s+DEGREE)\s+(.{4,})$",
                        ln)
         if gm2 and edu["education_level"] is None:
             edu["education_level"] = gm2.group(1)

@@ -26,15 +26,21 @@ __all__ = ["quantize_sql", "quantize_embeddings", "ann_topk_int8"]
 
 
 def quantize_sql(dialect: str, table: str = "embeddings") -> str:
+    # zero-scale guard: an all-zero embedding (padding / failed encode)
+    # must quantize to all zeros, not divide to NULLs
     if dialect == "spark":
         scale = ("array_max(transform(embedding, "
                  "x -> abs(cast(x as double)))) / 127")
-        q = "transform(embedding, x -> cast(round(cast(x as double) / scale) as int))"
+        q = ("CASE WHEN scale = 0 THEN transform(embedding, x -> 0) "
+             "ELSE transform(embedding, "
+             "x -> cast(round(cast(x as double) / scale) as int)) END")
     else:
         scale = ("list_max(list_transform(embedding, "
                  "x -> abs(cast(x as double)))) / 127")
-        q = ("list_transform(embedding, "
-             "x -> cast(round(cast(x as double) / scale) as int))")
+        q = ("CASE WHEN scale = 0 THEN "
+             "list_transform(embedding, x -> 0) "
+             "ELSE list_transform(embedding, "
+             "x -> cast(round(cast(x as double) / scale) as int)) END")
     agg = ("aggregate(q, cast(0 as bigint), (acc, v) -> acc + abs(v))"
            if dialect == "spark" else
            "list_sum(list_transform(q, v -> cast(abs(v) as bigint)))")
@@ -67,19 +73,14 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str, n_queries: int = 3,
                .select(F.col("vec_id").alias("query_id"),
                        F.col("scale").alias("qscale"),
                        F.col("q").alias("qq")))
+    from .ivf import _norm
     idot = F.aggregate(
         F.zip_with("qq", "q", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    def _inorm(col: str):
-        return F.sqrt(F.aggregate(
-            F.expr(f"transform({col}, v -> cast(v as double) * v)"),
-            F.lit(0.0), lambda acc, v: acc + v))
-
     scored = (quant.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("query_id"))
               .withColumn("cos_sim", F.round(
-                  idot.cast("double") / (_inorm("qq") * _inorm("q")), 4)))
+                  idot.cast("double") / (_norm("qq") * _norm("q")), 4)))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                F.asc("vec_id"))

@@ -96,3 +96,25 @@ def test_ann_int8_recall_contract(spark):
     hits = sum(len(got_sets[q] & exact_sets[q]) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.9
+
+
+def test_quantize_zero_vector_yields_zeros(spark):
+    """An all-zero embedding (padding / failed encode) quantizes to all
+    zeros on BOTH engines — never NULL division (r3 review finding)."""
+    spark.createDataFrame([(0, [0.0, 0.0, 0.0]), (1, [0.5, -1.0, 0.25])],
+                          "vec_id long, embedding array<float>") \
+        .createOrReplaceTempView("_qz_emb")
+    rows = {r.vec_id: r for r in spark.sql(
+        quantize.quantize_sql("spark", table="_qz_emb")).collect()}
+    assert list(rows[0].q) == [0, 0, 0]
+    assert rows[0].l1_int == 0
+    assert rows[0].scale == 0.0
+    assert list(rows[1].q) == [64, -127, 32]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW _qz_emb AS SELECT * FROM (VALUES "
+                "(0, [0.0, 0.0, 0.0]::FLOAT[]), "
+                "(1, [0.5, -1.0, 0.25]::FLOAT[])) t(vec_id, embedding)")
+    drows = {r[0]: r for r in con.execute(
+        quantize.quantize_sql("duck", table="_qz_emb")).fetchall()}
+    assert list(drows[0][2]) == [0, 0, 0] and drows[0][3] == 0
+    assert list(drows[1][2]) == [64, -127, 32]

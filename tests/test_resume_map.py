@@ -404,3 +404,25 @@ def test_education_degree_label_rules_do_not_shadow():
     e4 = _education_group(["MASTER'S DEGREE Università degli Studi"])
     assert e4["education_level"] == "MASTER'S DEGREE"
     assert e4["institution"] == "Università degli Studi"
+
+
+def test_education_degree_label_case_and_token_variants():
+    """r3 second-pass review: the colon-label rule must stay
+    case-insensitive and keep the full _DEGREE_RE token set; the
+    ALL-CAPS glued prefix must tolerate a lost apostrophe."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _education_group)
+    e = _education_group(["BACHELOR OF SCIENCE: Computer Systems -"])
+    assert e["education_level"] == "BACHELOR OF SCIENCE"
+    assert e["field_of_study"] == "Computer Systems"
+    e2 = _education_group(["B.S: Mathematics", "MIT"])
+    assert e2["education_level"] == "B.S"
+    assert e2["field_of_study"] == "Mathematics"
+    e3 = _education_group(["Laurea Magistrale: Ingegneria Informatica"])
+    assert e3["education_level"] == "Laurea Magistrale"
+    e4 = _education_group(["MASTERS DEGREE Università di Bologna"])
+    assert e4["education_level"] == "MASTERS DEGREE"
+    assert e4["institution"] == "Università di Bologna"
+    # thesis labels still rejected
+    e5 = _education_group(["MASTER THESIS: Deep Learning"])
+    assert e5["education_level"] is None
