@@ -127,3 +127,37 @@ def test_stream_sessionize_stateful_gap_and_timeout(spark, tmp_path):
     assert not any(u == 1 and m == 0 and n == 1 for u, m, n in rows
                    if (u, m, n) != (1, 0, 2))
     assert len(rows) == 2
+
+
+def test_stream_ingestion_with_neardup_index(spark, tmp_path):
+    """Streaming + incremental dedup compose: each micro-batch matches
+    against the append-only band index, so a near-dup re-crawled under
+    a new url in a LATER streamed file is tagged with the url it
+    duplicates, and the index grows across micro-batches."""
+    in_dir = str(tmp_path / "incoming")
+    out_root = str(tmp_path / "out")
+
+    pages = build_pages_df(spark, 30, with_fixtures=False)
+    pages.filter("url LIKE '%/doc/1%'") \
+        .write.mode("overwrite").parquet(in_dir)
+    q = stream_extraction(spark, in_dir, out_root, available_now=True,
+                          neardup_index=True)
+    q.awaitTermination(300)
+    idx1 = SnapshotTable(out_root + "/neardup_bands").read(spark).count()
+    assert idx1 > 0
+
+    src_url = pages.filter("url LIKE '%/doc/10'").collect()[0].url
+    redup = (pages.filter("url LIKE '%/doc/10'")
+             .withColumn("url", F.lit("https://mirror.example/copy/10")))
+    pages.filter("url LIKE '%/doc/2%'").unionByName(redup) \
+        .write.mode("append").parquet(in_dir)
+    q2 = stream_extraction(spark, in_dir, out_root, available_now=True,
+                           neardup_index=True)
+    q2.awaitTermination(300)
+
+    ext = SnapshotTable(out_root + "/resumes_extracted").read(spark)
+    tagged = {r.url: r.neardup_of for r in
+              ext.filter(F.col("neardup_of").isNotNull()).collect()}
+    assert tagged == {"https://mirror.example/copy/10": src_url}
+    assert SnapshotTable(out_root + "/neardup_bands").read(spark) \
+        .count() > idx1
