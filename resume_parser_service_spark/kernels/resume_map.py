@@ -557,8 +557,14 @@ def _experience_group(g: list[str]) -> dict:
                 and len(lm.group(1).split()) >= 2):
             # "Luna Web Design, New York" right under a period-carrying
             # header is Company, City (map-1.5.0); a single-word head
-            # stays a plain location ("Genoa, Italy")
-            exp["company"], exp["location"] = lm.group(1), lm.group(2)
+            # stays a plain location ("Genoa, Italy"). When the period
+            # line was BARE, the head may still glue position+company
+            # ("Web Developer -  Luna Web Design, New York")
+            head = lm.group(1)
+            parts = re.split(r"\s+[-–—]\s+", head, maxsplit=1)
+            if exp["position"] is None and len(parts) == 2:
+                exp["position"], head = parts[0], parts[1]
+            exp["company"], exp["location"] = head, lm.group(2)
             continue
         if lm and exp["location"] is None:
             exp["location"] = ln
