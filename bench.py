@@ -127,11 +127,14 @@ def main() -> None:
     _extra("decontaminate",
            lambda: decontaminate.contaminated_docs(spark, docs, eval_docs))
 
-    from resume_parser_service_spark.operators import lm_score, quantize
+    from resume_parser_service_spark.operators import (lm_score, quantize,
+                                                       spans)
     _extra("unigram_logprob",
            lambda: lm_score.unigram_logprob(spark, sf_dir))
     _extra("quantize_int8",
            lambda: quantize.quantize_embeddings(spark, sf_dir))
+    _extra("repeated_spans",
+           lambda: spans.repeated_spans(spark, sf_dir))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
