@@ -36,7 +36,8 @@ __all__ = ["repeated_spans_sql", "repeated_spans", "drop_repeated_spans"]
 
 
 def repeated_spans_sql(dialect: str, table: str = "documents",
-                       span_ngram: int = 16, min_df: int = 2) -> str:
+                       span_ngram: int = 16, min_df: int = 2,
+                       id_col: str = "doc_id") -> str:
     """(doc_id, span_start, span_end) — merged maximal token intervals
     covered by ``span_ngram``-grams occurring in >= ``min_df`` docs.
     Token positions are 0-based, ``span_end`` inclusive."""
@@ -44,51 +45,51 @@ def repeated_spans_sql(dialect: str, table: str = "documents",
     n = span_ngram
     if dialect == "spark":
         pos_sh = f"""
-  SELECT doc_id, pos,
+  SELECT {id_col}, pos,
          {_hash60("concat_ws(' ', slice(toks, pos + 1, " + str(n) + "))",
                   dialect)} AS h
-  FROM (SELECT doc_id, {toks} AS toks FROM {table})
+  FROM (SELECT {id_col}, {toks} AS toks FROM {table})
   LATERAL VIEW explode(CASE WHEN size(toks) >= {n}
       THEN sequence(0, size(toks) - {n}) ELSE array() END) t AS pos"""
     else:
         pos_sh = f"""
-  SELECT doc_id, pos,
+  SELECT {id_col}, pos,
          {_hash60(f"array_to_string(toks[pos + 1:pos + {n}], ' ')",
                   dialect)} AS h
-  FROM (SELECT doc_id, {toks} AS toks FROM {table}),
+  FROM (SELECT {id_col}, {toks} AS toks FROM {table}),
        unnest(CASE WHEN len(toks) >= {n}
               THEN range(0, len(toks) - {n} + 1) ELSE [] END) AS u(pos)"""
     return f"""
 WITH pos_sh AS ({pos_sh}),
 df AS (
   SELECT h FROM (
-    SELECT h, count(DISTINCT doc_id) AS docs FROM pos_sh GROUP BY h
+    SELECT h, count(DISTINCT {id_col}) AS docs FROM pos_sh GROUP BY h
   ) WHERE docs >= {min_df}
 ),
 flagged AS (
-  SELECT p.doc_id, p.pos, p.pos + {n - 1} AS pend
+  SELECT p.{id_col}, p.pos, p.pos + {n - 1} AS pend
   FROM pos_sh p JOIN df ON p.h = df.h
 ),
 islands AS (
-  SELECT doc_id, pos, pend,
+  SELECT {id_col}, pos, pend,
          CASE WHEN max(pend) OVER (
-                PARTITION BY doc_id ORDER BY pos
+                PARTITION BY {id_col} ORDER BY pos
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               >= pos - 1
               THEN 0 ELSE 1 END AS is_start
   FROM flagged
 ),
 grouped AS (
-  SELECT doc_id, pos, pend,
-         sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+  SELECT {id_col}, pos, pend,
+         sum(is_start) OVER (PARTITION BY {id_col} ORDER BY pos
                              ROWS UNBOUNDED PRECEDING) AS island
   FROM islands
 )
-SELECT doc_id,
+SELECT {id_col},
        cast(min(pos) as bigint) AS span_start,
        cast(max(pend) as bigint) AS span_end
-FROM grouped GROUP BY doc_id, island
-ORDER BY doc_id, span_start
+FROM grouped GROUP BY {id_col}, island
+ORDER BY {id_col}, span_start
 """
 
 
@@ -101,7 +102,8 @@ def repeated_spans(spark: SparkSession, sf_dir: str,
 
 def drop_repeated_spans(docs: DataFrame, span_ngram: int = 16,
                         min_df: int = 2,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
     """Rebuild ``text_col`` with every repeated span's tokens removed
     (``clean_text``, plus ``n_dropped_tokens``). Pure JVM array ops:
     the span list per doc is collected to an array column
@@ -115,8 +117,8 @@ def drop_repeated_spans(docs: DataFrame, span_ngram: int = 16,
     docs.createOrReplaceTempView(view)
     spans = spark.sql(repeated_spans_sql("spark", table=view,
                                          span_ngram=span_ngram,
-                                         min_df=min_df))
-    per_doc = (spans.groupBy("doc_id")
+                                         min_df=min_df, id_col=id_col))
+    per_doc = (spans.groupBy(id_col)
                .agg(F.collect_list(F.struct("span_start", "span_end"))
                     .alias("_spans")))
     toks = F.split(F.col(text_col), " ")
@@ -128,7 +130,7 @@ def drop_repeated_spans(docs: DataFrame, span_ngram: int = 16,
             "_spans",
             lambda sp: (s["i"] >= sp["span_start"]) &
                        (s["i"] <= sp["span_end"])))
-    return (docs.join(per_doc, "doc_id", "left")
+    return (docs.join(per_doc, id_col, "left")
             .withColumn("_spans",
                         F.coalesce(F.col("_spans"), F.array()))
             .withColumn("clean_text",

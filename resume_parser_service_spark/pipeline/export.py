@@ -42,7 +42,9 @@ def export_training_corpus(enriched: DataFrame, path: str,
                            drop_content_dups: bool = True,
                            partitions: int | None = None,
                            split_weights: dict[str, float] | None = None,
-                           scrub_pii: bool = False) -> dict:
+                           scrub_pii: bool = False,
+                           scrub_repeated_spans: bool = False,
+                           span_min_df: int = 2) -> dict:
     """Quality-filtered, content-deduplicated training corpus export
     over an ``enrich_extracted`` frame — the standard LLM-data shape:
     drop non-canonical content duplicates, too-short docs, and
@@ -57,7 +59,11 @@ def export_training_corpus(enriched: DataFrame, path: str,
     corpus growth) and writes one directory per split
     (``split=train/``...); per-split counts are added to the stats.
     ``scrub_pii=True`` replaces emails/phones/IPv4 in the exported text
-    with placeholder tokens (the committed table keeps original bytes)."""
+    with placeholder tokens (the committed table keeps original bytes).
+    ``scrub_repeated_spans=True`` removes cross-document repeated spans
+    (operators.spans exact-substring dedup; ``span_min_df`` documents
+    must share a 16-gram) from the exported text, adding a
+    ``n_dropped_tokens`` column to the JSONL."""
     base = enriched.filter(F.col("status") == "ok")
     keep = base.filter(
         (F.col("ws_tokens") >= min_tokens) &
@@ -80,6 +86,18 @@ def export_training_corpus(enriched: DataFrame, path: str,
         from ..operators.sampling import split_case_expr
         keep = keep.withColumn(
             "split", F.expr(split_case_expr("spark", "url", split_weights)))
+    if scrub_repeated_spans:
+        # cross-document repeated spans (operators.spans, the
+        # exact-substring dedup family) removed from the exported text
+        # only — the committed table keeps original bytes. Runs BEFORE
+        # the PII scrub so span hashes see the original tokens. The
+        # kept annotations (ws_tokens etc.) describe the pre-removal
+        # text; downstream mixers re-count after this gate.
+        from ..operators.spans import drop_repeated_spans
+        keep = (drop_repeated_spans(keep, min_df=span_min_df,
+                                    id_col="url")
+                .withColumn("text", F.col("clean_text"))
+                .drop("clean_text"))
     if scrub_pii:
         # emails/phones/IPv4 -> placeholders (operators.pii), applied to
         # the exported text only — the committed table keeps the
@@ -96,7 +114,9 @@ def export_training_corpus(enriched: DataFrame, path: str,
         n_total = base.count()
         cols = ["url", "text", "lang", "lang_guess", "n_chars", "ws_tokens",
                 "bpe_est_tokens", "stopword_ratio", "punct_ratio",
-                "fingerprint"] + (["split"] if split_weights else [])
+                "fingerprint"] \
+            + (["n_dropped_tokens"] if scrub_repeated_spans else []) \
+            + (["split"] if split_weights else [])
         rows = keep.select(
             F.to_json(F.struct(*cols)).alias("value"),
             *(["split"] if split_weights else []))

@@ -175,3 +175,49 @@ def test_enrich_repetition_matches_quality_module(spark):
         .filter((enr.dup_line_fraction != ref.dup_line_fraction) |
                 (enr.dup_bigram_fraction != ref.dup_bigram_fraction))
     assert diff.count() == 0
+
+
+def test_export_training_corpus_span_scrub(spark, tmp_path):
+    """scrub_repeated_spans=True: cross-document boilerplate spans are
+    removed from the exported text (committed bytes untouched), with
+    the dropped-token count carried in the JSONL."""
+    import gzip
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted)
+
+    boiler = ("all rights reserved this page is copyright of the example "
+              "corporation and may not be reproduced without permission")
+    docs = spark.createDataFrame(
+        [(f"https://e.x/{i}",
+          f"unique document number {i} body text here " * 3 + boiler)
+         for i in range(4)] +
+        [("https://e.x/solo", "completely unshared content " * 10)],
+        "url string, text string") \
+        .withColumn("status", F.lit("ok")) \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("n_chars", F.length("text").cast("long"))
+    enriched = enrich_extracted(docs)
+    out = str(tmp_path / "corpus")
+    from resume_parser_service_spark.pipeline.export import (
+        export_training_corpus)
+    stats = export_training_corpus(enriched, out, min_tokens=5,
+                                   drop_content_dups=False,
+                                   scrub_repeated_spans=True)
+    assert stats["kept"] == 5
+    rows = []
+    for f in glob.glob(out + "/*.txt.gz") + glob.glob(out + "/*.gz"):
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    by_url = {r["url"]: r for r in rows}
+    for i in range(4):
+        r = by_url[f"https://e.x/{i}"]
+        assert "all rights reserved" not in r["text"]
+        assert f"unique document number {i}" in r["text"]
+        assert r["n_dropped_tokens"] >= 16
+    assert by_url["https://e.x/solo"]["n_dropped_tokens"] == 0
+    assert "unshared" in by_url["https://e.x/solo"]["text"]
