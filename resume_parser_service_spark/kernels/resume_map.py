@@ -561,7 +561,11 @@ def _experience_group(g: list[str]) -> dict:
             # line was BARE, the head may still glue position+company
             # ("Web Developer -  Luna Web Design, New York")
             head = lm.group(1)
-            parts = re.split(r"\s+[-–—]\s+", head, maxsplit=1)
+            # the glue shows a COLUMN-GAP artifact: >= 2 spaces after
+            # the dash ("Web Developer -  Luna Web Design"); a normal
+            # dashed company name ("Merrill - Lynch Partners") has
+            # single spaces and must stay whole
+            parts = re.split(r"\s+[-–—]\s{2,}", head, maxsplit=1)
             if exp["position"] is None and len(parts) == 2:
                 exp["position"], head = parts[0], parts[1]
             exp["company"], exp["location"] = head, lm.group(2)

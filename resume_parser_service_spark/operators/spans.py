@@ -37,11 +37,12 @@ __all__ = ["repeated_spans_sql", "repeated_spans", "drop_repeated_spans"]
 
 def repeated_spans_sql(dialect: str, table: str = "documents",
                        span_ngram: int = 16, min_df: int = 2,
-                       id_col: str = "doc_id") -> str:
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
     """(doc_id, span_start, span_end) — merged maximal token intervals
     covered by ``span_ngram``-grams occurring in >= ``min_df`` docs.
     Token positions are 0-based, ``span_end`` inclusive."""
-    toks = _tokens("text", dialect)
+    toks = _tokens(text_col, dialect)
     n = span_ngram
     if dialect == "spark":
         pos_sh = f"""
@@ -117,7 +118,8 @@ def drop_repeated_spans(docs: DataFrame, span_ngram: int = 16,
     docs.createOrReplaceTempView(view)
     spans = spark.sql(repeated_spans_sql("spark", table=view,
                                          span_ngram=span_ngram,
-                                         min_df=min_df, id_col=id_col))
+                                         min_df=min_df, id_col=id_col,
+                                         text_col=text_col))
     per_doc = (spans.groupBy(id_col)
                .agg(F.collect_list(F.struct("span_start", "span_end"))
                     .alias("_spans")))

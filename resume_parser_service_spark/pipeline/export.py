@@ -86,29 +86,38 @@ def export_training_corpus(enriched: DataFrame, path: str,
         from ..operators.sampling import split_case_expr
         keep = keep.withColumn(
             "split", F.expr(split_case_expr("spark", "url", split_weights)))
+    # persist BOTH frames BEFORE the scrubs: n_total on an unpersisted
+    # `base` would re-execute the entire enrich lineage (window shuffle
+    # included) a second time, and the span scrub's detection SQL
+    # traverses its input three times (pos_sh twice + the outer join
+    # side) — all of it must hit this cache
+    base = base.persist()
+    keep = keep.persist()
+    handles = [base, keep]
     if scrub_repeated_spans:
         # cross-document repeated spans (operators.spans, the
         # exact-substring dedup family) removed from the exported text
         # only — the committed table keeps original bytes. Runs BEFORE
         # the PII scrub so span hashes see the original tokens. The
         # kept annotations (ws_tokens etc.) describe the pre-removal
-        # text; downstream mixers re-count after this gate.
+        # text; the token floor is re-applied to the REBUILT text so a
+        # document that was mostly boilerplate leaves the corpus
+        # instead of exporting as a near-empty row (Lee et al. drop
+        # shrunken docs).
         from ..operators.spans import drop_repeated_spans
         keep = (drop_repeated_spans(keep, min_df=span_min_df,
                                     id_col="url")
                 .withColumn("text", F.col("clean_text"))
-                .drop("clean_text"))
+                .drop("clean_text")
+                .filter(F.size(F.split("text", " ")) >= min_tokens)
+                .persist())
+        handles.append(keep)
     if scrub_pii:
         # emails/phones/IPv4 -> placeholders (operators.pii), applied to
         # the exported text only — the committed table keeps the
         # original bytes (byte-identity contract)
         from ..operators.pii import scrub_pii_col
         keep = keep.withColumn("text", scrub_pii_col("text"))
-    # persist BOTH frames: n_total on an unpersisted `base` would
-    # re-execute the entire enrich lineage (window shuffle included) a
-    # second time — only the kept side was cached before
-    base = base.persist()
-    keep = keep.persist()
     try:
         n_keep = keep.count()
         n_total = base.count()
@@ -131,8 +140,8 @@ def export_training_corpus(enriched: DataFrame, path: str,
         else:
             writer.text(path)
     finally:
-        keep.unpersist()
-        base.unpersist()
+        for h in handles:
+            h.unpersist()
     return stats
 
 

@@ -196,7 +196,8 @@ def test_export_training_corpus_span_scrub(spark, tmp_path):
         [(f"https://e.x/{i}",
           f"unique document number {i} body text here " * 3 + boiler)
          for i in range(4)] +
-        [("https://e.x/solo", "completely unshared content " * 10)],
+        [("https://e.x/solo", "completely unshared content " * 10),
+         ("https://e.x/allboiler", boiler)],
         "url string, text string") \
         .withColumn("status", F.lit("ok")) \
         .withColumn("lang", F.lit("en")) \
@@ -208,6 +209,8 @@ def test_export_training_corpus_span_scrub(spark, tmp_path):
     stats = export_training_corpus(enriched, out, min_tokens=5,
                                    drop_content_dups=False,
                                    scrub_repeated_spans=True)
+    # the boiler-only page shrinks below the floor and LEAVES the
+    # corpus (no empty-text JSONL rows)
     assert stats["kept"] == 5
     rows = []
     for f in glob.glob(out + "/*.txt.gz") + glob.glob(out + "/*.gz"):
@@ -221,3 +224,5 @@ def test_export_training_corpus_span_scrub(spark, tmp_path):
         assert r["n_dropped_tokens"] >= 16
     assert by_url["https://e.x/solo"]["n_dropped_tokens"] == 0
     assert "unshared" in by_url["https://e.x/solo"]["text"]
+    assert "https://e.x/allboiler" not in by_url
+    assert all(r["text"].strip() for r in rows)

@@ -426,3 +426,19 @@ def test_education_degree_label_case_and_token_variants():
     # thesis labels still rejected
     e5 = _education_group(["MASTER THESIS: Deep Learning"])
     assert e5["education_level"] is None
+
+
+def test_dashed_company_name_not_split():
+    """r3 third-pass review: only a COLUMN-GAP dash (>= 2 trailing
+    spaces) splits a glued position-company head; a normal dashed
+    company name under a bare period line stays whole."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _experience_group)
+    e = _experience_group(["09/2015 to 05/2019",
+                           "Merrill - Lynch Partners, New York"])
+    assert e["company"] == "Merrill - Lynch Partners"
+    assert e["position"] is None
+    e2 = _experience_group(["09/2015 to 05/2019",
+                            "Web Developer -  Luna Web Design, New York"])
+    assert e2["position"] == "Web Developer"
+    assert e2["company"] == "Luna Web Design"
