@@ -25,7 +25,11 @@ from .catalog import register_views
 __all__ = ["quantize_sql", "quantize_embeddings", "ann_topk_int8"]
 
 
-def quantize_sql(dialect: str, table: str = "embeddings") -> str:
+def quantize_sql(dialect: str, table: str = "embeddings",
+                 as_csv: bool = False) -> str:
+    """``as_csv=True`` projects the int8 vector as a comma-joined
+    string instead of an array — the driver's value-hash compares
+    scalarized columns, same convention as collect_sources_per_lang."""
     # zero-scale guard: an all-zero embedding (padding / failed encode)
     # must quantize to all zeros, not divide to NULLs
     if dialect == "spark":
@@ -44,6 +48,12 @@ def quantize_sql(dialect: str, table: str = "embeddings") -> str:
     agg = ("aggregate(q, cast(0 as bigint), (acc, v) -> acc + abs(v))"
            if dialect == "spark" else
            "list_sum(list_transform(q, v -> cast(abs(v) as bigint)))")
+    if as_csv:
+        q_out = ("concat_ws(',', transform(q, x -> cast(x as string)))"
+                 if dialect == "spark" else
+                 "array_to_string(q, ',')") + " AS q_csv"
+    else:
+        q_out = "q"
     return f"""
 WITH scaled AS (
   SELECT vec_id, {scale} AS scale, embedding FROM {table}
@@ -51,7 +61,7 @@ WITH scaled AS (
 quant AS (
   SELECT vec_id, round(scale, 9) AS scale, {q} AS q FROM scaled
 )
-SELECT vec_id, scale, q,
+SELECT vec_id, scale, {q_out},
        cast({agg} as bigint) AS l1_int
 FROM quant ORDER BY vec_id
 """
