@@ -204,7 +204,16 @@ def extract_pages(pages: DataFrame, salt_partitions: int | None = None,
     return extracted, rejected
 
 
-def enrich_extracted(extracted: DataFrame) -> DataFrame:
+#: enrich_extracted broadcasts the content-dup canonical map only when
+#: it has at most this many rows (~150 B/row -> ~150 MB at the cap); a
+#: mirror-heavy crawl whose dup map exceeds it falls back to a shuffle
+#: join instead of blowing the executor broadcast budget.
+DUP_MAP_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def enrich_extracted(extracted: DataFrame,
+                     dup_map_broadcast_max: int = DUP_MAP_BROADCAST_MAX_ROWS
+                     ) -> DataFrame:
     """Training-data annotations over extracted rows — pure JVM-side
     expressions (one window shuffle for content-dup marking, everything
     else map-side), mirroring the formulas of the catalog queries
@@ -283,7 +292,16 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
                     F.count(F.lit(1)).alias("_n_copies"))
                .filter(F.col("_n_copies") > 1)
                .select("fingerprint", "_canonical_url"))
-    return (out.join(F.broadcast(dup_map), "fingerprint", "left")
+    # Size-gate the broadcast (r3 verdict): on realistic dup rates the
+    # map is tiny, but a mirror-heavy corpus can make it corpus-sized.
+    # The count is a key-pair-only agg over the caller-persisted input
+    # (tiny-stats action, same class as writer.py's manifest reads);
+    # past the gate the join falls back to a shuffle join and AQE's
+    # runtime threshold still gets the final say.
+    n_dup = dup_map.count()
+    dup_side = (F.broadcast(dup_map) if n_dup <= dup_map_broadcast_max
+                else dup_map)
+    return (out.join(dup_side, "fingerprint", "left")
             .withColumn(
                 "content_dup_of",
                 F.when(F.col("url") == F.col("_canonical_url"),

@@ -162,6 +162,37 @@ def test_enrich_dup_map_shuffles_only_key_pairs(spark, docs):
     assert args == ["fingerprint"], plan
 
 
+def test_enrich_dup_map_gate_falls_back_to_shuffle_join(spark):
+    """Planted all-duplicates corpus past the broadcast gate: the dup
+    map must join WITHOUT the broadcast hint (mirror-heavy-crawl
+    safety). autoBroadcastJoinThreshold is disabled for the assertion
+    so a hint-free plan provably shows no BroadcastHashJoin."""
+    from resume_parser_service_spark.pipeline.extract import (
+        enrich_extracted)
+    # two fingerprint groups (non-constant key, so the join stays an
+    # equi-join), every row a content duplicate
+    frame = (spark.range(40)
+             .selectExpr("cast(id as string) AS url",
+                         "concat('same text ', id % 2) AS text"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gated = enrich_extracted(frame, dup_map_broadcast_max=0)
+        plan = formatted_plan(gated)
+        assert "BroadcastHashJoin" not in plan and \
+            "BroadcastNestedLoopJoin" not in plan
+        # values still correct through the shuffle path: canonical per
+        # group is its min url ('0' / '1'), everyone else marked a dup
+        rows = {r.url: r.content_dup_of for r in gated.collect()}
+        assert rows["0"] is None and rows["1"] is None
+        assert all(rows[u] == str(int(u) % 2)
+                   for u in rows if u not in ("0", "1"))
+        hinted = enrich_extracted(frame)  # 2 dup fingerprints <= gate
+        assert "BroadcastHashJoin" in formatted_plan(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_shingles_build_without_joins(spark):
     """The shingle relation is a pure map (array slicing) + one
     aggregation — the r01 5-way positional self-join (5 token-corpus

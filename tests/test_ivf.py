@@ -82,3 +82,43 @@ def test_recall_monotone_in_nprobe(spark):
     r1, r4 = recall(1), recall(4)
     assert 0.0 < r1 <= r4 <= 1.0
     assert r4 >= 0.3  # probing 1/4 of cells finds a meaningful share
+
+
+def _queries_df(spark, n_queries=3):
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec")))
+
+
+def test_indexed_full_probe_equals_trained(spark, tmp_path):
+    """build-once index + full probe reproduces the per-call-trained
+    ivf_topk exactly (same quantizer, same tie-breaks)."""
+    idx = str(tmp_path / "ivf_index")
+    ivf.build_ivf_index(spark, SF_DIR, idx, n_cells=N_CELLS, dim=64)
+    got = ivf.ivf_topk_indexed(spark, idx, _queries_df(spark), k=5,
+                               nprobe=N_CELLS).collect()
+    ref = ivf.ivf_topk(spark, SF_DIR, n_queries=3, k=5,
+                       n_cells=N_CELLS, nprobe=N_CELLS).collect()
+    assert [(r.query_id, r.neighbor_id, r.cos_sim, r.rk) for r in got] == \
+           [(r.query_id, r.neighbor_id, r.cos_sim, r.rk) for r in ref]
+
+
+def test_indexed_probe_prunes_scan(spark, tmp_path):
+    """nprobe=1 must prune the vector scan to the probed cell
+    PARTITIONS (PartitionFilters on cell), not post-filter a full
+    scan — the 100 TB contract of the materialized index."""
+    from resume_parser_service_spark.plans import formatted_plan
+    idx = str(tmp_path / "ivf_index")
+    ivf.build_ivf_index(spark, SF_DIR, idx, n_cells=N_CELLS, dim=64)
+    df = ivf.ivf_topk_indexed(spark, idx, _queries_df(spark, 1), k=5,
+                              nprobe=1)
+    plan = formatted_plan(df)
+    scan = [blk for blk in plan.split("\n\n")
+            if "Scan parquet" in blk and "vectors" in blk]
+    assert scan, plan
+    pf = [ln for ln in scan[0].splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], scan[0]
+    # and the filter is non-empty (literal IN over probed cells)
+    assert "[]" not in pf[0].replace(" ", ""), pf[0]
