@@ -372,9 +372,13 @@ def _strip_trailing_location(line: str) -> tuple[str, str | None]:
         return m.group(1), m.group(2)
     # "Columbia University, NY": the name itself contains the comma
     # pair — trailing single-word state/city, not a "<name> <City,
-    # Country>" render (map-1.5.0)
+    # Country>" render (map-1.5.0). The single word must LOOK like a
+    # place (country name or an all-caps state abbrev): a comma-bearing
+    # org name with a one-word tail ("Ernst, Young") keeps its tail.
     m = _LOCATION_RE.match(line)
-    if m and len(m.group(2).split()) == 1:
+    if m and len(m.group(2).split()) == 1 and (
+            m.group(2) in _COUNTRIES
+            or re.fullmatch(r"[A-Z]{2,3}", m.group(2))):
         return m.group(1), m.group(2)
     m = re.match(r"^(.*\S)\s+([A-Z][a-zA-Z]{2,})$", line)
     if m and m.group(2) in _COUNTRIES:
@@ -674,10 +678,15 @@ def _eu_industry(lines: list[str], a: int, window: range) -> str | None:
                 return nxt
         return None
     nxt = lines[i + 1].strip() if i + 1 < len(lines) else ""
-    # wrapped continuation: only when the same-line value is clearly
-    # cut short ("Information" / "Engineering and") — a complete value
-    # ("Information systems, EDP") must not eat the next line
-    if nxt and nxt[0].islower() and len(nxt) <= 20 and len(val) <= 16:
+    # wrapped continuation: only when the same-line value itself ends
+    # mid-phrase — a single word ("Information") or a trailing
+    # conjunction/preposition ("Engineering and") — never on raw line
+    # lengths, so a complete short value ("Information systems, EDP")
+    # followed by an unrelated lowercase line is left alone
+    cut_short = (" " not in val and not val.endswith((".", ","))) or \
+        val.rsplit(" ", 1)[-1].lower() in ("and", "of", "or", "for",
+                                           "in", "&")
+    if nxt and nxt[0].islower() and len(nxt) <= 20 and cut_short:
         val = f"{val} {nxt}"
     return val
 

@@ -58,8 +58,10 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab table and the 1-row total are broadcast, so the corpus-side
     token stream never shuffles for the join."""
     register_views(spark, sf_dir)
+    # tokenizer expression shared with the SQL builder via _tokens, so
+    # a tokenizer change can never diverge the twins silently
     toks = spark.table("documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        "doc_id", F.explode(F.expr(_tokens("text", "spark"))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
     return (toks.join(F.broadcast(freq), "tok")

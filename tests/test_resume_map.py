@@ -442,3 +442,36 @@ def test_dashed_company_name_not_split():
                             "Web Developer -  Luna Web Design, New York"])
     assert e2["position"] == "Web Developer"
     assert e2["company"] == "Luna Web Design"
+
+
+def test_trailing_location_single_word_must_look_like_place():
+    """r3 ADVICE: 'Ernst, Young' keeps its tail (org name), while
+    'Columbia University, NY' and 'BlockChain Rush Italy' still
+    split."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _strip_trailing_location)
+    assert _strip_trailing_location("Ernst, Young") == ("Ernst, Young",
+                                                       None)
+    assert _strip_trailing_location("Columbia University, NY") == \
+        ("Columbia University", "NY")
+    assert _strip_trailing_location("BlockChain Rush Italy") == \
+        ("BlockChain Rush", "Italy")
+
+
+def test_eu_industry_continuation_anchors_on_cut_short_value():
+    """r3 ADVICE: a complete short sector value followed by an
+    unrelated short lowercase line must NOT merge; a value cut
+    mid-phrase still picks up its wrapped continuation."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _eu_industry)
+    # complete value, unrelated lowercase next line
+    lines = ["Company sector: Retail, EDP", "sales assistant duties"]
+    assert _eu_industry(lines, 0, range(len(lines))) == "Retail, EDP"
+    # single-word cut + continuation
+    lines2 = ["Company sector: Information", "technology"]
+    assert _eu_industry(lines2, 0, range(len(lines2))) == \
+        "Information technology"
+    # trailing conjunction cut + continuation
+    lines3 = ["Company sector: Engineering and", "construction"]
+    assert _eu_industry(lines3, 0, range(len(lines3))) == \
+        "Engineering and construction"
