@@ -25,7 +25,7 @@ import re
 
 __all__ = ["map_resume", "resume_to_text", "empty_resume", "KERNEL_VERSION"]
 
-KERNEL_VERSION = "map-1.5.0"
+KERNEL_VERSION = "map-1.6.0"
 
 _SECTION_HEADERS = {
     "education": "education",
@@ -98,7 +98,7 @@ _PERIOD_RE = re.compile(
 # Software Engineer 01/2022 – Present")
 _PERIOD_INLINE_RE = re.compile(
     rf"({_DATE_TOK})\s*(?:[-–—]|to)\s*({_DATE_TOK}|Present|present|Ongoing)")
-_BULLET_RE = re.compile(r"^[●•▪‣]\s*")
+_BULLET_RE = re.compile(r"^[●•▪‣\uf0b7]\s*")
 # leading CEFR/fluency token of a proficiency value
 _LEVEL_RE = re.compile(
     r"^(?:A1|A2|B1|B2|C1|C2|Native|Fluent|Basic|Beginner|Intermediate|"
@@ -240,6 +240,143 @@ def _find_phone(text: str) -> tuple[str | None, str | None]:
     return None, None
 
 
+# city -> country: the deterministic subset of the reference LLM's
+# country inference (it fills `country` from an Italian address; a
+# static major-city table is public knowledge and reproducible)
+_CITY_COUNTRY = {c: "Italy" for c in (
+    "GENOVA", "GENOA", "TORINO", "TURIN", "MILANO", "MILAN", "ROMA",
+    "ROME", "NAPOLI", "NAPLES", "FIRENZE", "FLORENCE", "BOLOGNA",
+    "VENEZIA", "VENICE", "PALERMO", "TRIESTE", "PADOVA", "VERONA",
+    "PISA", "SAVONA", "BERGAMO", "BARI", "CATANIA")}
+
+_COUNTRY_DIAL = {
+    "Italy": "+39", "UK": "+44", "United Kingdom": "+44", "England": "+44",
+    "Ireland": "+353", "France": "+33", "Germany": "+49", "Spain": "+34",
+    "Portugal": "+351", "Netherlands": "+31", "Switzerland": "+41",
+    "Austria": "+43", "Belgium": "+32", "USA": "+1", "Canada": "+1",
+}
+
+_SIDEBAR_LABEL_RE = re.compile(
+    r"^(Phone|Tel|Telephone|Email|E-mail|Contact|Links?|Website)\b", re.I)
+
+
+def _left_column_fragment(line: str) -> str:
+    """Leading sidebar-column text of a two-column interleaved line: a
+    2+-space run or an interleaved bullet glyph is a column gap;
+    otherwise the fragment ends before the first lowercase-initial
+    token ('177 Great Portland Street, workflow.' -> '177 Great
+    Portland Street,')."""
+    frag = re.split(r"\s{2,}|\s*[●•▪‣\uf0b7]\s*", line.strip())[0]
+    out: list[str] = []
+    for t in frag.split():
+        if out and t[:1].islower():
+            break
+        out.append(t)
+    return " ".join(out)
+
+
+def _labeled_sidebar_address(stripped: list[str]) -> str | None:
+    """'Address:' sidebar label whose value wraps over the following
+    lines, each possibly interleaved with the body column. Fragments
+    are joined while they end with a comma (wrapped continuation);
+    collection stops at the next sidebar label."""
+    for i, l in enumerate(stripped):
+        if not re.match(r"^Address\s*:", l, re.I):
+            continue
+        first = _left_column_fragment(l)
+        parts = []
+        inline = re.sub(r"^Address\s*:\s*", "", first, flags=re.I).strip()
+        if inline:
+            parts.append(inline)
+        for j in range(i + 1, min(i + 5, len(stripped))):
+            if parts and not parts[-1].endswith(","):
+                break
+            frag = _left_column_fragment(stripped[j])
+            if not frag or _SIDEBAR_LABEL_RE.match(frag):
+                break
+            parts.append(frag)
+        if parts:
+            return re.sub(r"\s*,\s*", ", ", " ".join(parts)).strip(" ,")
+    return None
+
+
+_SIDEBAR_LABEL_LINE_RE = re.compile(
+    r"^(?:Address|Phone|Tel|Telephone|Mobile|Email|E-mail|Website"
+    r"|Links?|Contact)\s*:?\s*$", re.I)
+_MIDLINE_BULLET_RE = re.compile(r"(?<=\S)\s+[●•▪‣\uf0b7]\s*")
+_POSTCODE_RE = re.compile(r"\b[A-Z]{1,2}\d[A-Z\d]?\s+\d[A-Z]{2}\b")
+
+
+def _sidebar_fragment_like(frag: str) -> bool:
+    """Does this left-column fragment read as CONTACT-sidebar content
+    (label, phone/email fragment, street line, postcode) rather than
+    body prose? The patterns are deliberately narrow — body text must
+    never be stripped on a false positive."""
+    if not frag:
+        return False
+    if _SIDEBAR_LABEL_LINE_RE.match(frag):
+        return True
+    if "@" in frag:
+        return True
+    if (re.fullmatch(r"\+?[\d(][\d ()./\xa0-]{4,}", frag)
+            and sum(c.isdigit() for c in frag) >= 6):
+        return True
+    if _POSTCODE_RE.search(frag):
+        return True
+    # street fragment: house number + capitalized words, wrapped with
+    # a trailing comma ("177 Great Portland Street,")
+    if re.fullmatch(r"\d+\s+[A-Z][A-Za-z .'-]*,", frag):
+        return True
+    return False
+
+
+def _unweave_sidebar(lines: list[str]) -> list[str]:
+    """Remove Contact-sidebar fragments interleaved into a body column
+    (two-column PDFs linearize 'Address: ● Develop project concepts'
+    onto one line). Deterministic twin of the reference merge-prompt's
+    column-disentangling rules
+    (/root/reference/app/services/prompt.py:162-301): a mid-line
+    bullet glyph after sidebar-shaped text starts a NEW bullet; a
+    sidebar-shaped left fragment is dropped from a continuation line;
+    a 1-3 letter lowercase orphan right after an email fragment is the
+    wrapped TLD. Contact values themselves are harvested by _personal
+    over the full text, so nothing is lost."""
+    out: list[str] = []
+    prev_email = False
+    for ln in lines:
+        s = ln.strip()
+        if not s:
+            out.append(ln)
+            continue
+        if _PERIOD_INLINE_RE.search(s):  # period headers never unweave
+            prev_email = False
+            out.append(ln)
+            continue
+        if _SIDEBAR_LABEL_LINE_RE.match(s):
+            prev_email = False
+            continue
+        m = _MIDLINE_BULLET_RE.search(s)
+        if m and _sidebar_fragment_like(s[:m.start()].strip()):
+            prev_email = "@" in s[:m.start()]
+            out.append("• " + s[m.end():])
+            continue
+        if not _BULLET_RE.match(s):
+            frag = _left_column_fragment(s)
+            if (frag and s.startswith(frag)
+                    and _sidebar_fragment_like(frag)):
+                rest = s[len(frag):].strip()
+                prev_email = "@" in frag
+                if rest:
+                    out.append(rest)
+                continue
+            if prev_email and re.fullmatch(r"[a-z]{1,3}", s):
+                prev_email = False
+                continue
+        prev_email = False
+        out.append(ln)
+    return out
+
+
 def _personal(lines: list[str], links: list[str],
               full_text: str = "") -> dict | None:
     """Personal-information mapper. Name/surname come from the leading
@@ -294,27 +431,72 @@ def _personal(lines: list[str], links: list[str],
             zm = re.search(r"\b(\d{5}(?:-\d{4})?)\b", l)
             if zm:
                 pi["zip_code"] = zm.group(1)
-                if pi["address"] is None and "," in l[:zm.start()]:
-                    pi["address"] = l[:zm.start()].rstrip(" ,")
+                street = (l[:zm.start()].rstrip(" ,")
+                          if "," in l[:zm.start()] else None)
                 # European address shape: city follows the postal code
                 # ("Via di Creto 61, 16165 GENOVA (GE)" -> GENOVA)
+                cm = re.match(r"\s*([A-ZÀ-Ý][A-Za-zÀ-ÿ .'-]*?)"
+                              r"(?:\s*\([A-Z]{2}\))?\s*$",
+                              l[zm.end():])
+                tail_city = cm.group(1).strip() if cm else ""
+                if pi["city"] is None and tail_city:
+                    pi["city"] = tail_city
+                if pi["address"] is None and street:
+                    # reference shape: the address keeps the full
+                    # "street, zip CITY" render, province tag dropped
+                    pi["address"] = (f"{street}, {zm.group(1)} {tail_city}"
+                                     if tail_city else street)
+    if pi["address"] is None:
+        # the Address label lives in a Contact sidebar that lands
+        # mid-text after two-column linearization — scan the whole
+        # document, like the other contact fields
+        addr = _labeled_sidebar_address(
+            [bl.strip() for bl in body.split("\n") if bl.strip()])
+        if addr:
+            pi["address"] = addr
+            # UK-style postcode embedded in the address ("London W5W
+            # 6PQ"): split out the zip and the city word(s) before it
+            pm = re.search(r"\b([A-Z]{1,2}\d[A-Z\d]?\s+\d[A-Z]{2})\s*$",
+                           addr)
+            if pm:
+                if pi["zip_code"] is None:
+                    pi["zip_code"] = pm.group(1)
                 if pi["city"] is None:
-                    cm = re.match(r"\s*([A-ZÀ-Ý][A-Za-zÀ-ÿ .'-]*?)"
-                                  r"(?:\s*\([A-Z]{2}\))?\s*$",
-                                  l[zm.end():])
-                    if cm and cm.group(1).strip():
-                        pi["city"] = cm.group(1).strip()
+                    cm = re.search(r"([A-Z][A-Za-z'-]+)\s*$",
+                                   addr[:pm.start()].rstrip(" ,"))
+                    if cm:
+                        pi["city"] = cm.group(1)
     m = _EMAIL_RE.search(body) or _EMAIL_LENIENT_RE.search(body)
     if m:
         pi["email"] = _rejoin_wrapped_tld(body, m)
     pi["phone_prefix"], pi["phone"] = _find_phone(body)
+    if pi["phone"]:
+        # "(0)20 ..." is international trunk NOTATION, not content —
+        # the parenthesized zero is dialed domestically, so render it
+        # as the plain leading zero the reference output uses
+        pi["phone"] = re.sub(r"^\(0\)\s*", "0", pi["phone"])
     dm = re.search(r"(?:Date of [Bb]irth|DOB)\s*[:/]?\s*"
                    r"([0-9][0-9/.-]{5,9})", body)
     if dm:
         pi["date_of_birth"] = dm.group(1)
+    if pi["country"] is None:
+        # stated nationality ("Nationality/ citizenship/Italy") — a
+        # column-interleaved Europass label, value ends at the first
+        # non-capitalized token
+        nm = re.search(r"(?:Nationality|Citizenship)[^\n]*?/\s*"
+                       r"([A-Z][a-zà-ÿ]+)", body)
+        if nm:
+            pi["country"] = nm.group(1)
+    if pi["country"] is None and pi["city"]:
+        pi["country"] = _CITY_COUNTRY.get(pi["city"].upper())
+    if pi["phone_prefix"] is None and pi["phone"] and pi["country"]:
+        # country stated but the number written without its dial code:
+        # static country->E.164 prefix lookup
+        pi["phone_prefix"] = _COUNTRY_DIAL.get(pi["country"])
     for url in links + _URL_RE.findall(body):
-        if "github.com" in url and pi["github"] is None:
-            pi["github"] = url
+        if (("github.com" in url or ".github.io" in url)
+                and pi["github"] is None):
+            pi["github"] = url.rstrip("/")
         elif "linkedin.com" in url and pi["linkedin"] is None:
             pi["linkedin"] = url
     if pi["linkedin"] is None:
@@ -470,12 +652,25 @@ def _education_group(g: list[str]) -> dict:
     return edu
 
 
+def _looks_like_entry_header(ln: str) -> bool:
+    """Company/position headers start with a capital or digit and do
+    not read like a sentence fragment — a wrapped bullet continuation
+    ('issues immediately.') starts lowercase or ends in a full stop
+    and must never open an entry (reference merge-rule parity:
+    /root/reference/app/services/prompt.py entry-separation rules)."""
+    s = ln.strip()
+    return bool(s) and (s[0].isupper() or s[0].isdigit()) \
+        and not s.endswith(".")
+
+
 def _split_period_entries(g: list[str]) -> list[list[str]]:
     """Split one blank-line group holding several employers (dense
     layouts have no blank lines between entries): a new entry starts at
-    a non-bullet line whose NEXT line carries an inline period and is
-    itself period-free ('BlockChain Rush Italy' / 'Co-Founder ...
-    01/2022 – Present')."""
+    a header-shaped non-bullet line whose NEXT line carries an inline
+    period and is itself period-free ('BlockChain Rush Italy' /
+    'Co-Founder ... 01/2022 – Present'), or at a header-shaped line
+    carrying its OWN inline period when the running entry already has
+    one ('Waitress - 09/2015 to 05/2017' after a completed entry)."""
     entries: list[list[str]] = []
     cur: list[str] = []
     for i, ln in enumerate(g):
@@ -483,9 +678,16 @@ def _split_period_entries(g: list[str]) -> list[list[str]]:
         is_header = (cur
                      and not _BULLET_RE.match(ln)
                      and not _PERIOD_INLINE_RE.search(ln)
+                     and _looks_like_entry_header(ln)
                      and not _BULLET_RE.match(nxt)
                      and _PERIOD_INLINE_RE.search(nxt) is not None)
-        if is_header:
+        new_period_entry = (len(cur) > 1
+                            and not _BULLET_RE.match(ln)
+                            and _looks_like_entry_header(ln)
+                            and _PERIOD_INLINE_RE.search(ln) is not None
+                            and any(_PERIOD_INLINE_RE.search(c)
+                                    for c in cur))
+        if is_header or new_period_entry:
             entries.append(cur)
             cur = [ln]
         else:
@@ -507,7 +709,9 @@ def _experience_group(g: list[str]) -> dict:
             and not _PERIOD_INLINE_RE.search(g[0]) \
             and not _BULLET_RE.match(g[1]):
         pm = _PERIOD_INLINE_RE.search(g[1])
-        pos_rest = (g[1][:pm.start()] + g[1][pm.end():]).strip() if pm else ""
+        pos_rest = (re.sub(r"[\s\-–—,|:]+$", "",
+                           (g[1][:pm.start()] + g[1][pm.end():]).strip())
+                    if pm else "")
         if pm and pos_rest:
             exp["company"], exp["location"] = _strip_trailing_location(g[0])
             exp["position"] = pos_rest
@@ -805,7 +1009,7 @@ def map_resume(text: str, links: list[str] | None = None) -> dict:
                 else:
                     education.append(_education_group(g))
         elif kind == "experience":
-            for g in _groups(lines):
+            for g in _groups(_unweave_sidebar(lines)):
                 for entry in _split_period_entries(g):
                     experience.append(_experience_group(entry))
         elif kind == "projects":

@@ -303,22 +303,29 @@ def test_reference_golden_section_recall_floors():
 
     if not os.path.exists("/root/reference/cv_output/worse.json"):
         pytest.skip("reference goldens not present")
-    floors = {  # (education min-ratio, experience min-ratio)
+    floors = {  # (personal, education, experience) min-ratios
+        # personal is 1.0 everywhere since map-1.6.0 (country from
+        # stated nationality + city table, full address render, dial
+        # prefix from country, github.io, trunk-(0) collapse).
         # CVENG experience: 44/48 — the misses are the golden's own
         # typo fix ("Scholarship" for the PDF's "Scolarship") and LLM
         # reassembly of column-split cells (map-1.5.0 Europass
         # grid reconstruction)
-        "CVENG.pdf": (1.0, 44 / 48),
-        "FedericoElia.pdf": (1.0, 11 / 12),
-        "resume2.pdf": (1.0, 1.0),
+        "CVENG.pdf": (1.0, 1.0, 44 / 48),
+        "FedericoElia.pdf": (1.0, 1.0, 11 / 12),
+        "resume2.pdf": (1.0, 1.0, 1.0),
     }
     for pdf, golden in CASES.items():
         r = extract_pdf(open(f"/root/reference/{pdf}", "rb").read())
         ours = map_resume(r["text"], r["links"])
         ref = json.load(open(f"/root/reference/cv_output/{golden}"))
-        for sec, floor in zip(("education_details", "experience_details"),
-                              floors[pdf]):
-            m, t = section_recall(ours.get(sec), ref.get(sec))
+        for sec, floor in zip(("personal_information",
+                               "education_details",
+                               "experience_details"), floors[pdf]):
+            got, exp = ours.get(sec), ref.get(sec)
+            if sec == "personal_information":
+                got, exp = [got] if got else [], [exp] if exp else []
+            m, t = section_recall(got, exp)
             assert t == 0 or m / t >= floor, (pdf, sec, m, t)
 
 
@@ -475,3 +482,21 @@ def test_eu_industry_continuation_anchors_on_cut_short_value():
     lines3 = ["Company sector: Engineering and", "construction"]
     assert _eu_industry(lines3, 0, range(len(lines3))) == \
         "Engineering and construction"
+
+
+def test_resume2_bullets_match_reference_golden():
+    """The sidebar unweaver (map-1.6.0) reproduces the reference
+    LLM's disentangled responsibility bullets EXACTLY on the
+    two-column resume2 fixture."""
+    import os
+
+    import pytest
+
+    if not os.path.exists("/root/reference/cv_output/both_resume2.json"):
+        pytest.skip("reference goldens not present")
+    ref = json.load(open("/root/reference/cv_output/both_resume2.json"))
+    from resume_parser_service_spark.kernels.pdf_text import extract_pdf
+    r = extract_pdf(open("/root/reference/resume2.pdf", "rb").read())
+    m = map_resume(r["text"], r["links"])
+    assert (m["experience_details"][0]["key_responsibilities"]
+            == ref["experience_details"][0]["key_responsibilities"])
