@@ -82,7 +82,8 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- commit --
     def commit(self, df: DataFrame, partitions: int | None = None,
-               replaces: list[int] | None = None) -> int:
+               replaces: list[int] | None = None,
+               preserve_snapshot_ids: bool = False) -> int:
         """Append ``df`` as a new snapshot. Data lands fully before the
         manifest appears (os.replace is atomic), so readers never see a
         partial commit and a crashed run leaves no visible snapshot.
@@ -94,9 +95,16 @@ class SnapshotTable:
         rel = f"data/snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.root, rel)
         out = df.repartition(partitions) if partitions else df
-        if "_snapshot_id" in out.columns:
-            out = out.drop("_snapshot_id")
-        out = out.withColumn("_snapshot_id", F.lit(snap_id).cast("long"))
+        if preserve_snapshot_ids and "_snapshot_id" in out.columns:
+            # versioned compaction: retained rows keep their ORIGINAL
+            # stamp so per-key version order (and read_current's
+            # max_by resolution) survives the rewrite
+            pass
+        else:
+            if "_snapshot_id" in out.columns:
+                out = out.drop("_snapshot_id")
+            out = out.withColumn("_snapshot_id",
+                                 F.lit(snap_id).cast("long"))
         if "_deleted" not in out.columns:
             out = out.withColumn("_deleted", F.lit(False))
         if self.buckets:
@@ -199,30 +207,38 @@ class SnapshotTable:
                 part, allowMissingColumns=True)
         return df
 
-    def point_lookup(self, spark: SparkSession, key: str) -> DataFrame:
-        """B1 point lookup. With a bucketed layout only the key's bucket
-        directory of each snapshot is scanned (1/buckets of the files);
-        unbucketed tables fall back to a filtered full read."""
-        from pyspark.sql import functions as F
+    def _key_scoped_read(self, spark: SparkSession, key: str
+                         ) -> DataFrame | None:
+        """Minimal-scan frame for one key: bucket-dir pruning with a
+        bucketed layout, manifest-stats file pruning otherwise, full
+        read as the last resort. Returns None for an empty prune."""
         if self.buckets:
             b = _hash60_py(key) % self.buckets
             paths = [os.path.join(self.root, s["path"], f"_bucket={b}")
                      for s in self.live_snapshots()]
             paths = [p for p in paths if os.path.exists(p)]
             if not paths:
-                return spark.createDataFrame([], "url string")
+                return None
             # mergeSchema: after schema evolution (e.g. --enrich turned
             # on mid-table) a single arbitrary footer would drop the
             # newer columns; read() handles this via unionByName
-            df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        else:
-            files = self.prune_files(key_eq=key)
-            if files is not None:
-                if not files:
-                    return spark.createDataFrame([], "url string")
-                df = spark.read.option("mergeSchema", "true").parquet(*files)
-            else:
-                df = self.read(spark)
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
+        files = self.prune_files(key_eq=key)
+        if files is not None:
+            if not files:
+                return None
+            return spark.read.option("mergeSchema", "true").parquet(*files)
+        return self.read(spark)
+
+    def point_lookup(self, spark: SparkSession, key: str) -> DataFrame:
+        """B1 point lookup. With a bucketed layout only the key's bucket
+        directory of each snapshot is scanned (1/buckets of the files);
+        unbucketed tables fall back to manifest-stats file pruning or a
+        filtered full read."""
+        from pyspark.sql import functions as F
+        df = self._key_scoped_read(spark, key)
+        if df is None:
+            return spark.createDataFrame([], "url string")
         rest = [c for c in df.columns if c != self.key_col]
         cur = (df.filter(F.col(self.key_col) == key)
                .groupBy(self.key_col)
@@ -247,6 +263,55 @@ class SnapshotTable:
                     .alias("_row"))
                .select(self.key_col, "_row.*"))
         return cur.filter(~F.col("_deleted")).drop("_deleted")
+
+    def _live_rows(self, df: DataFrame) -> DataFrame:
+        """Non-tombstoned rows still live under delete semantics: a
+        delete only erases rows OLDER than the tombstone — rows
+        re-appended for the same key afterwards survive."""
+        from pyspark.sql import functions as F
+        dead = (df.filter(F.col("_deleted"))
+                .groupBy(self.key_col)
+                .agg(F.max("_snapshot_id").alias("_del_snap")))
+        return (df.filter(~F.col("_deleted"))
+                .join(dead, self.key_col, "left")
+                .filter(F.col("_del_snap").isNull() |
+                        (F.col("_snapshot_id") > F.col("_del_snap")))
+                .drop("_del_snap", "_deleted"))
+
+    def read_versions(self, spark: SparkSession, key: str | None = None
+                      ) -> DataFrame | None:
+        """Per-key version history (B12 parity with the reference's
+        versioned resume reads,
+        /root/reference/app/repositories/resume_repository.py:32-70 and
+        the (user_id, version) compound index app/core/indexes.py:26-33):
+        every live row of a key with a 1-based ``_version`` in
+        snapshot order. Superseded rows stay readable until a
+        compaction's retention (``compact(keep_versions=N)``) or a
+        tombstone drops them."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+        if key is not None:
+            df = self._key_scoped_read(spark, key)
+            if df is not None:
+                df = df.filter(F.col(self.key_col) == key)
+        else:
+            df = self.read(spark)
+        if df is None:
+            return None
+        live = self._live_rows(df)
+        w = Window.partitionBy(self.key_col).orderBy(F.asc("_snapshot_id"))
+        return live.withColumn("_version",
+                               F.row_number().over(w).cast("long"))
+
+    def version_lookup(self, spark: SparkSession, key: str,
+                       version: int) -> DataFrame:
+        """Single (key, version) read — 'version 2 of url X' even after
+        later commits rewrote the key."""
+        from pyspark.sql import functions as F
+        hist = self.read_versions(spark, key=key)
+        if hist is None:
+            return spark.createDataFrame([], f"{self.key_col} string")
+        return hist.filter(F.col("_version") == version)
 
     def merge_upsert(self, spark: SparkSession, new_df: DataFrame,
                      compare_exclude: tuple = ("vector", "_snapshot_id",
@@ -333,7 +398,8 @@ class SnapshotTable:
         return files
 
     def compact(self, spark: SparkSession,
-                target_file_mb: int = 128, mode: str = "current") -> dict:
+                target_file_mb: int = 128, mode: str = "current",
+                keep_versions: int = 1) -> dict:
         """Bin-pack compaction (Iceberg ``rewrite_data_files`` +
         dangling-delete removal): rewrite the table as ONE new snapshot
         sized to ``target_file_mb`` files, which replaces every prior
@@ -353,27 +419,32 @@ class SnapshotTable:
         snaps = self.live_snapshots()
         if not snaps:
             return {"compacted": 0, "snapshot_id": None}
+        preserve_ids = False
         if mode == "append":
-            df = self.read(spark)
             # a delete only erases rows OLDER than the tombstone —
             # rows re-appended for the same key after the delete are
             # live and must survive the rewrite (snapshot-id order,
             # not mere tombstone existence)
-            dead = (df.filter(F.col("_deleted"))
-                    .groupBy(self.key_col)
-                    .agg(F.max("_snapshot_id").alias("_del_snap")))
-            cur = (df.filter(~F.col("_deleted"))
-                   .join(dead, self.key_col, "left")
-                   .filter(F.col("_del_snap").isNull() |
-                           (F.col("_snapshot_id") > F.col("_del_snap")))
-                   .drop("_del_snap", "_deleted"))
+            cur = self._live_rows(self.read(spark))
+        elif keep_versions > 1:
+            # versioned retention (B12): keep the newest N versions per
+            # key, preserving their ORIGINAL _snapshot_id stamps so
+            # version order and read_current resolution survive
+            from pyspark.sql.window import Window
+            live = self._live_rows(self.read(spark))
+            w = Window.partitionBy(self.key_col) \
+                .orderBy(F.desc("_snapshot_id"))
+            cur = (live.withColumn("_rk", F.row_number().over(w))
+                   .filter(F.col("_rk") <= keep_versions).drop("_rk"))
+            preserve_ids = True
         else:
             cur = self.read_current(spark)
         total_bytes = sum(e.get("bytes", 0) for s in snaps
                           for e in (s.get("files") or []))
         n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
         snap = self.commit(cur, partitions=n_files,
-                           replaces=[s["id"] for s in snaps])
+                          replaces=[s["id"] for s in snaps],
+                          preserve_snapshot_ids=preserve_ids)
         return {"compacted": len(snaps), "snapshot_id": snap,
                 "data_files": n_files}
 

@@ -112,3 +112,60 @@ def test_schema_evolution_across_snapshots(spark, tmp_path):
     rows = {r["url"]: r for r in t.read(spark).collect()}
     assert rows["u1"]["extra"] is None
     assert rows["u2"]["extra"] == "x"
+
+
+def test_version_history_per_key(spark, tmp_path):
+    """B12 per-key versions: every live row of a key is readable by
+    (key, version) in snapshot order, matching the reference's
+    versioned resume reads (resume_repository.py:32-70)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v1-text", [1.0]),
+                                        ("u2", "other", [9.0])]))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v2-text", [1.0])]))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v3-text", [1.0])]))
+
+    hist = tbl.read_versions(spark, key="u1").orderBy("_version").collect()
+    assert [(r["_version"], r["text"]) for r in hist] == \
+        [(1, "v1-text"), (2, "v2-text"), (3, "v3-text")]
+    v2 = tbl.version_lookup(spark, "u1", 2).collect()
+    assert len(v2) == 1 and v2[0]["text"] == "v2-text"
+    # current read still resolves to the newest version
+    cur = {r["url"]: r["text"] for r in tbl.read_current(spark).collect()}
+    assert cur == {"u1": "v3-text", "u2": "other"}
+
+
+def test_versioned_compaction_retains_history(spark, tmp_path):
+    """compact(keep_versions=2) rewrites the table keeping the newest 2
+    versions per key readable by (key, version) — even after
+    expire_snapshots reclaims the pre-compaction data."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v1-text", [1.0])]))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v2-text", [1.0])]))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v3-text", [1.0])]))
+    res = tbl.compact(spark, mode="current", keep_versions=2)
+    assert res["compacted"] == 3
+    tbl.expire_snapshots()
+
+    hist = tbl.read_versions(spark, key="u1").orderBy("_version").collect()
+    assert [(r["_version"], r["text"]) for r in hist] == \
+        [(1, "v2-text"), (2, "v3-text")]
+    assert tbl.version_lookup(spark, "u1", 1).collect()[0]["text"] == \
+        "v2-text"
+    # current resolution unharmed by preserved snapshot stamps
+    assert tbl.read_current(spark).collect()[0]["text"] == "v3-text"
+    # post-compaction upserts append version 3
+    tbl.merge_upsert(spark, _df(spark, [("u1", "v4-text", [1.0])]))
+    hist2 = tbl.read_versions(spark, key="u1").orderBy("_version").collect()
+    assert [r["text"] for r in hist2] == ["v2-text", "v3-text", "v4-text"]
+
+
+def test_versioned_compaction_respects_tombstones(spark, tmp_path):
+    """A tombstone erases history at/below it even through versioned
+    compaction; re-appended rows restart the version sequence."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [("u1", "old", [1.0])]))
+    tbl.delete_keys(spark, ["u1"])
+    tbl.merge_upsert(spark, _df(spark, [("u1", "reborn", [1.0])]))
+    tbl.compact(spark, mode="current", keep_versions=5)
+    hist = tbl.read_versions(spark, key="u1").collect()
+    assert [(r["_version"], r["text"]) for r in hist] == [(1, "reborn")]
