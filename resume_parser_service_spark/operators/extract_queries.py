@@ -181,11 +181,18 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
     what a correct decoder must recover — the encode+decode round trip
     itself is full real format work (zlib/IDAT defilter, RIFF walk, Y4M
     frame striding), not a stub."""
-    from ..kernels import media
+    from ..kernels import jpeg, media
     i = int(doc_id)
     if kind == "image":
         w, h, val = 8 + i % 9, 8 + i % 5, i % 256
         return media.make_png(w, h, bytes([val]) * (w * h))
+    if kind == "jpeg":
+        # baseline JPEG (kernels/jpeg.py): flat quant table so the
+        # solid-gray DC-only block reconstructs the value EXACTLY and
+        # the oracle can state the decoded mean
+        w, h, val = 8 + i % 9, 8 + i % 5, i % 256
+        return jpeg.make_jpeg(w, h, bytes([val]) * (w * h),
+                              quant=jpeg.QUANT_FLAT)
     if kind == "audio":
         n, val = 1000 + i % 500, 64 + i % 100
         return media.make_wav(bytes([val]) * n, rate=8000)
@@ -209,8 +216,12 @@ def _multimodal_kernel(batches: Iterator) -> Iterator:
         for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"],
                                          pdf["media_type"]):
             data = bytes(payload)
-            if kind == "image":
-                img = media.decode_png(data)
+            if kind in ("image", "jpeg"):
+                if kind == "jpeg":
+                    from ..kernels.jpeg import decode_jpeg
+                    img = decode_jpeg(data)
+                else:
+                    img = media.decode_png(data)
                 thumb = media.resize_nearest(img["pixels"], img["width"],
                                              img["height"], 4, 4)
                 row = {"dim1": img["width"], "dim2": img["height"],
@@ -237,9 +248,10 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     payloads = spark.table("documents").select(
         "doc_id",
-        F.expr("CASE WHEN doc_id % 3 = 0 THEN 'image' "
-               "WHEN doc_id % 3 = 1 THEN 'audio' "
-               "ELSE 'video' END").alias("media_type")
+        F.expr("CASE WHEN doc_id % 4 = 0 THEN 'image' "
+               "WHEN doc_id % 4 = 1 THEN 'audio' "
+               "WHEN doc_id % 4 = 2 THEN 'video' "
+               "ELSE 'jpeg' END").alias("media_type")
     ).mapInPandas(_payload_builder,
                   schema="doc_id long, media_type string, payload binary")
     return payloads.mapInPandas(
@@ -259,21 +271,22 @@ def _payload_builder(batches: Iterator) -> Iterator:
 
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
-       cast(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
-                 WHEN doc_id % 3 = 1 THEN 8000
-                 ELSE 16 END as bigint) AS dim1,
-       cast(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 5
-                 WHEN doc_id % 3 = 1 THEN 1000 + doc_id % 500
-                 ELSE 8 END as bigint) AS dim2,
-       cast(CASE WHEN doc_id % 3 = 2
+       CASE WHEN doc_id % 4 = 0 THEN 'image'
+            WHEN doc_id % 4 = 1 THEN 'audio'
+            WHEN doc_id % 4 = 2 THEN 'video'
+            ELSE 'jpeg' END AS media_type,
+       cast(CASE WHEN doc_id % 4 = 1 THEN 8000
+                 WHEN doc_id % 4 = 2 THEN 16
+                 ELSE 8 + doc_id % 9 END as bigint) AS dim1,
+       cast(CASE WHEN doc_id % 4 = 1 THEN 1000 + doc_id % 500
+                 WHEN doc_id % 4 = 2 THEN 8
+                 ELSE 8 + doc_id % 5 END as bigint) AS dim2,
+       cast(CASE WHEN doc_id % 4 = 2
                  THEN (2 + doc_id % 5 + 1) // 2
                  ELSE 1 END as bigint) AS frames_sampled,
-       cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
-                 WHEN doc_id % 3 = 1 THEN 64 + doc_id % 100
-                 ELSE doc_id % 200 END as double) AS feature
+       cast(CASE WHEN doc_id % 4 = 1 THEN 64 + doc_id % 100
+                 WHEN doc_id % 4 = 2 THEN doc_id % 200
+                 ELSE doc_id % 256 END as double) AS feature
 FROM documents ORDER BY doc_id"""
 
 

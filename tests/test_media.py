@@ -120,3 +120,74 @@ def test_y4m_truncated_after_frame_header():
     r = decode_y4m(data[:cut], sample_every=1)
     assert r["frames_sampled"] == 1
     assert r["mean_sampled_luma"] == 10.0
+
+
+# ---------------------------------------------------------------------
+# baseline JPEG (kernels/jpeg.py)
+# ---------------------------------------------------------------------
+
+def test_jpeg_solid_roundtrip_exact():
+    """DC-only solid block with the flat quant table reconstructs the
+    exact gray value — the invariant the multimodal oracle states."""
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    for val in (0, 1, 127, 128, 200, 255):
+        w, h = 13, 9  # non-multiple-of-8 -> edge padding path
+        d = decode_jpeg(make_jpeg(w, h, bytes([val]) * (w * h),
+                                  quant=QUANT_FLAT))
+        assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
+        assert set(d["pixels"]) == {val}
+
+
+def test_jpeg_gradient_near_lossless_with_flat_quant():
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    w, h = 17, 24
+    src = bytes([(x * 13 + y * 7) % 256 for y in range(h)
+                 for x in range(w)])
+    out = decode_jpeg(make_jpeg(w, h, src, quant=QUANT_FLAT))["pixels"]
+    assert max(abs(a - b) for a, b in zip(src, out)) <= 1
+
+
+def test_jpeg_k1_quant_lossy_but_structured():
+    """The Annex K.1 table is lossy; the mean must still track and the
+    stream must parse (DQT/SOF0/DHT/SOS walk + Huffman decode)."""
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_K1,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    w = h = 32
+    src = bytes([(x * x + 3 * y * y) % 256 for y in range(h)
+                 for x in range(w)])
+    d = decode_jpeg(make_jpeg(w, h, src, quant=QUANT_K1))
+    m_in = sum(src) / len(src)
+    m_out = sum(d["pixels"]) / len(d["pixels"])
+    assert abs(m_in - m_out) < 2.0
+
+
+def test_jpeg_color_444_components():
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    w = h = 16
+    y = bytes([90]) * (w * h)
+    d = decode_jpeg(make_jpeg(w, h, y, quant=QUANT_FLAT,
+                              chroma=(bytes([100]) * (w * h),
+                                      bytes([200]) * (w * h))))
+    assert d["n_components"] == 3
+    assert set(d["pixels"]) == {90}  # luma plane untouched by chroma
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest
+
+    from resume_parser_service_spark.kernels.jpeg import (decode_jpeg,
+                                                          make_jpeg)
+    j = bytearray(make_jpeg(8, 8, bytes(64)))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    sof = bytes(j).find(b"\xFF\xC0")
+    j[sof + 1] = 0xC2  # claim progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(j))
