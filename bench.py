@@ -143,9 +143,16 @@ def main() -> None:
     from resume_parser_service_spark.operators import ivf as _ivf
     idx_dir = os.path.join(cache_root, "ivf_index")
     _ivf.build_ivf_index(spark, sf_dir, idx_dir, n_cells=16)
-    _qdf = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .filter("vec_id < 3")
-            .selectExpr("vec_id AS query_id", "embedding AS qvec"))
+    # query vectors as a LOCAL relation: the probe contract is "index
+    # + query vectors in hand", so the per-call parquet fetch of 3
+    # rows would be pure bench overhead
+    _qrows = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+              .filter("vec_id < 3")
+              .selectExpr("vec_id AS query_id", "embedding AS qvec")
+              .collect())
+    _qdf = spark.createDataFrame(
+        [(r.query_id, list(map(float, r.qvec))) for r in _qrows],
+        "query_id bigint, qvec array<double>")
     _extra("ivf_topk_indexed",
            lambda: _ivf.ivf_topk_indexed(spark, idx_dir, _qdf, k=5,
                                          nprobe=16))

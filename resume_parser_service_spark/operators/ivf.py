@@ -192,6 +192,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 3,
 # column — here the index is the stored artifact).
 # --------------------------------------------------------------------------
 
+#: index_dir -> collected centroid rows; a read-only 16-row table per
+#: index, so caching it driver-side removes a per-probe Spark job.
+#: build_ivf_index invalidates on rewrite.
+_CENT_CACHE: dict[str, list] = {}
+
+
 def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str,
                     n_cells: int = 16, dim: int | None = None) -> None:
     """Write ``index_dir/vectors`` (cell-partitioned parquet of
@@ -209,34 +215,48 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str,
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_dir}/vectors"))
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    _CENT_CACHE.pop(index_dir, None)  # invalidate the probe-side cache
 
 
 def ivf_topk_indexed(spark: SparkSession, index_dir: str,
                      queries: DataFrame, k: int = 5,
                      nprobe: int = 4) -> DataFrame:
-    """Top-k over a PRE-BUILT index. ``queries`` is a small
-    (query_id, qvec) frame (broadcast twice: once against the
-    centroid table for probe selection, once against the candidate
-    scan). The probe cells are collected to the driver — n_queries x
-    nprobe ints — so the cell filter is literal and partition pruning
-    actually prunes the parquet scan."""
-    cents = spark.read.parquet(f"{index_dir}/centroids")
-    qc = (queries.crossJoin(F.broadcast(cents))
-          .withColumn("sim", _dot("qvec", "centroid") /
-                      (_norm("qvec") * _norm("centroid"))))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"),
-                                                F.asc("cell"))
-    probes = (qc.withColumn("rk", F.row_number().over(wq))
-              .filter(F.col("rk") <= nprobe).select("query_id", "cell"))
-    probe_rows = probes.collect()  # tiny: n_queries * nprobe
-    probe_cells = sorted({r.cell for r in probe_rows})
-    probe_df = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    """Top-k over a PRE-BUILT index. Probe selection is DRIVER-side
+    numpy — the centroid table is n_cells rows and ``queries`` is
+    small by contract (collected once), so scoring n_queries x
+    n_cells dots locally avoids a whole Spark job per call; the
+    corpus-side candidate scan stays the single distributed job, with
+    a LITERAL cell filter so partition pruning prunes the parquet
+    scan."""
+    import numpy as np
+
+    cent_rows = _CENT_CACHE.get(index_dir)
+    if cent_rows is None:
+        cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+        _CENT_CACHE[index_dir] = cent_rows
+    cmat = np.array([r.centroid for r in cent_rows])  # (n_cells, dim)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    q_rows = queries.collect()
+    probe_pairs = []
+    for qr in q_rows:
+        qv = np.array(qr.qvec)
+        sims = cmat @ qv / (cnorm * np.linalg.norm(qv))
+        order = sorted(range(len(cent_rows)),
+                       key=lambda i: (-sims[i], cent_rows[i].cell))
+        probe_pairs += [(qr.query_id, cent_rows[i].cell)
+                        for i in order[:nprobe]]
+    probe_cells = sorted({c for _, c in probe_pairs})
+    probe_df = spark.createDataFrame(probe_pairs,
+                                     "query_id bigint, cell int")
+    q_lit = spark.createDataFrame(
+        [(r.query_id, list(map(float, r.qvec))) for r in q_rows],
+        "query_id bigint, qvec array<double>")
 
     vecs = (spark.read.parquet(f"{index_dir}/vectors")
             .filter(F.col("cell").isin(probe_cells)))
     scored = (vecs.join(F.broadcast(probe_df), "cell")
               .filter(F.col("vec_id") != F.col("query_id"))
-              .join(F.broadcast(queries), "query_id")
+              .join(F.broadcast(q_lit), "query_id")
               .withColumn("cos_sim", F.round(
                   _dot("qvec", "embedding") /
                   (_norm("qvec") * _norm("embedding")), 4)))
