@@ -106,6 +106,8 @@ _C = _dct_basis()
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
     """value -> (code, length), canonical T.81 code assignment."""
     out, code, k = {}, 0, 0
+    if sum(bits) > len(vals):
+        raise ValueError("truncated Huffman table")
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             out[vals[k]] = (code, ln)
@@ -151,9 +153,19 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # truncated entropy data: drain with zero bits (media.py
+            # truncation-tolerance convention) instead of IndexError
+            self.acc <<= 8
+            self.n += 8
+            return
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+                return
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # unstuff
@@ -343,6 +355,9 @@ def decode_jpeg(data: bytes) -> dict:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

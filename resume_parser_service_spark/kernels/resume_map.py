@@ -257,7 +257,8 @@ _COUNTRY_DIAL = {
 }
 
 _SIDEBAR_LABEL_RE = re.compile(
-    r"^(Phone|Tel|Telephone|Email|E-mail|Contact|Links?|Website)\b", re.I)
+    r"^(Phone|Tel|Telephone|Mobile|Cell|Email|E-mail|Contact|Links?"
+    r"|Website)\b", re.I)
 
 
 def _left_column_fragment(line: str) -> str:
@@ -318,6 +319,8 @@ def _sidebar_fragment_like(frag: str) -> bool:
         return True
     if "@" in frag:
         return True
+    if re.fullmatch(r"\d{4}\s*/\s*\d{4}", frag):
+        return False  # a year pair ("2020/2021") is body, not a phone
     if (re.fullmatch(r"\+?[\d(][\d ()./\xa0-]{4,}", frag)
             and sum(c.isdigit() for c in frag) >= 6):
         return True
@@ -343,6 +346,10 @@ def _unweave_sidebar(lines: list[str]) -> list[str]:
     over the full text, so nothing is lost."""
     out: list[str] = []
     prev_email = False
+    in_sidebar = False  # a sidebar LABEL must appear before any
+    #                     non-label fragment is ever stripped — a
+    #                     one-column resume's '5 Star Hotel,' or
+    #                     '2020/2021 season' lines are body text
     for ln in lines:
         s = ln.strip()
         if not s:
@@ -354,13 +361,18 @@ def _unweave_sidebar(lines: list[str]) -> list[str]:
             continue
         if _SIDEBAR_LABEL_LINE_RE.match(s):
             prev_email = False
+            in_sidebar = True
             continue
         m = _MIDLINE_BULLET_RE.search(s)
-        if m and _sidebar_fragment_like(s[:m.start()].strip()):
-            prev_email = "@" in s[:m.start()]
-            out.append("• " + s[m.end():])
-            continue
-        if not _BULLET_RE.match(s):
+        if m:
+            left = s[:m.start()].strip()
+            if _SIDEBAR_LABEL_LINE_RE.match(left) or \
+                    (in_sidebar and _sidebar_fragment_like(left)):
+                prev_email = "@" in left
+                in_sidebar = True
+                out.append("• " + s[m.end():])
+                continue
+        if in_sidebar and not _BULLET_RE.match(s):
             frag = _left_column_fragment(s)
             if (frag and s.startswith(frag)
                     and _sidebar_fragment_like(frag)):
@@ -653,14 +665,21 @@ def _education_group(g: list[str]) -> dict:
 
 
 def _looks_like_entry_header(ln: str) -> bool:
-    """Company/position headers start with a capital or digit and do
-    not read like a sentence fragment — a wrapped bullet continuation
-    ('issues immediately.') starts lowercase or ends in a full stop
-    and must never open an entry (reference merge-rule parity:
-    /root/reference/app/services/prompt.py entry-separation rules)."""
+    """Company/position headers must not read like a sentence
+    fragment — a wrapped bullet continuation ('issues immediately.')
+    starts with a lowercase WORD or is a trailing-period sentence, and
+    must never open an entry (reference merge-rule parity:
+    /root/reference/app/services/prompt.py entry-separation rules).
+    Camel-case brands ('eBay', 'iQuest') and short dotted names
+    ('Acme Inc.') still qualify."""
     s = ln.strip()
-    return bool(s) and (s[0].isupper() or s[0].isdigit()) \
-        and not s.endswith(".")
+    if not s:
+        return False
+    if s[0].islower() and not (len(s) > 1 and s[1].isupper()):
+        return False
+    if s.endswith(".") and len(s.split()) >= 4:
+        return False  # sentence-like, not a short dotted org name
+    return True
 
 
 def _split_period_entries(g: list[str]) -> list[list[str]]:

@@ -192,10 +192,28 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 3,
 # column — here the index is the stored artifact).
 # --------------------------------------------------------------------------
 
-#: index_dir -> collected centroid rows; a read-only 16-row table per
-#: index, so caching it driver-side removes a per-probe Spark job.
-#: build_ivf_index invalidates on rewrite.
-_CENT_CACHE: dict[str, list] = {}
+#: abspath(index_dir) -> (centroids-dir mtime, collected rows); a
+#: read-only n_cells-row table per index, so caching it driver-side
+#: removes a per-probe Spark job. Keyed by ABSOLUTE path and validated
+#: against the directory mtime, so a rebuild under an aliased path or
+#: by another process can never serve stale centroids.
+_CENT_CACHE: dict[str, tuple[float, list]] = {}
+
+
+def _cached_centroids(spark: SparkSession, index_dir: str) -> list:
+    import os
+    key = os.path.abspath(index_dir)
+    cdir = os.path.join(key, "centroids")
+    try:
+        mtime = os.path.getmtime(cdir)
+    except OSError:
+        mtime = -1.0
+    hit = _CENT_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    _CENT_CACHE[key] = (mtime, rows)
+    return rows
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str,
@@ -215,7 +233,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str,
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_dir}/vectors"))
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    _CENT_CACHE.pop(index_dir, None)  # invalidate the probe-side cache
+    import os
+    _CENT_CACHE.pop(os.path.abspath(index_dir), None)
 
 
 def ivf_topk_indexed(spark: SparkSession, index_dir: str,
@@ -230,10 +249,7 @@ def ivf_topk_indexed(spark: SparkSession, index_dir: str,
     scan."""
     import numpy as np
 
-    cent_rows = _CENT_CACHE.get(index_dir)
-    if cent_rows is None:
-        cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
-        _CENT_CACHE[index_dir] = cent_rows
+    cent_rows = _cached_centroids(spark, index_dir)
     cmat = np.array([r.centroid for r in cent_rows])  # (n_cells, dim)
     cnorm = np.linalg.norm(cmat, axis=1)
     q_rows = queries.collect()

@@ -294,13 +294,22 @@ def enrich_extracted(extracted: DataFrame,
                .select("fingerprint", "_canonical_url"))
     # Size-gate the broadcast (r3 verdict): on realistic dup rates the
     # map is tiny, but a mirror-heavy corpus can make it corpus-sized.
-    # The count is a key-pair-only agg over the caller-persisted input
-    # (tiny-stats action, same class as writer.py's manifest reads);
-    # past the gate the join falls back to a shuffle join and AQE's
-    # runtime threshold still gets the final say.
+    # The gate's count runs over a PERSISTED dup map so the
+    # aggregation (and the input lineage above it) is computed once —
+    # the join then reads the cache. Within the gate the cache is
+    # bounded (<= dup_map_broadcast_max key pairs) and lives until the
+    # session ends or the caller unpersists; past the gate it is
+    # dropped immediately and the shuffle join recomputes the pruned
+    # agg inside its own plan (AQE's runtime threshold still gets the
+    # final say).
+    from pyspark.storagelevel import StorageLevel
+    dup_map = dup_map.persist(StorageLevel.MEMORY_AND_DISK)
     n_dup = dup_map.count()
-    dup_side = (F.broadcast(dup_map) if n_dup <= dup_map_broadcast_max
-                else dup_map)
+    if n_dup <= dup_map_broadcast_max:
+        dup_side = F.broadcast(dup_map)
+    else:
+        dup_map.unpersist()
+        dup_side = dup_map
     return (out.join(dup_side, "fingerprint", "left")
             .withColumn(
                 "content_dup_of",

@@ -238,7 +238,7 @@ class SnapshotTable:
         from pyspark.sql import functions as F
         df = self._key_scoped_read(spark, key)
         if df is None:
-            return spark.createDataFrame([], "url string")
+            return spark.createDataFrame([], f"{self.key_col} string")
         rest = [c for c in df.columns if c != self.key_col]
         cur = (df.filter(F.col(self.key_col) == key)
                .groupBy(self.key_col)
@@ -419,13 +419,21 @@ class SnapshotTable:
         snaps = self.live_snapshots()
         if not snaps:
             return {"compacted": 0, "snapshot_id": None}
+        if mode == "append" and keep_versions != 1:
+            # append tables keep every live row by definition — a
+            # silent ignore here would read as applied retention
+            raise ValueError("keep_versions applies to mode='current'")
         preserve_ids = False
         if mode == "append":
             # a delete only erases rows OLDER than the tombstone —
             # rows re-appended for the same key after the delete are
             # live and must survive the rewrite (snapshot-id order,
-            # not mere tombstone existence)
+            # not mere tombstone existence). Original stamps are
+            # PRESERVED: append tables hold many rows per key whose
+            # relative snapshot order is meaningful (audit replay,
+            # read_versions) and a re-stamp would collapse it.
             cur = self._live_rows(self.read(spark))
+            preserve_ids = True
         elif keep_versions > 1:
             # versioned retention (B12): keep the newest N versions per
             # key, preserving their ORIGINAL _snapshot_id stamps so

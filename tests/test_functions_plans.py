@@ -156,10 +156,17 @@ def test_enrich_dup_map_shuffles_only_key_pairs(spark, docs):
     plan = formatted_plan(df)
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
-    assert count_exchanges(df) == 1
-    # the one shuffle is keyed on fingerprint (the pruned dup-map agg)
+    # since the r4 size gate the dup-map agg is computed ONCE during
+    # the gate's count on a persisted frame — the returned plan reads
+    # the cache (the exchanges formatted below the InMemoryRelation
+    # are the cache-populate plan, already executed). The invariant:
+    # every hash shuffle anywhere in the tree is keyed on fingerprint
+    # (the pruned key-pair agg) — the full-width enriched frame never
+    # moves.
+    assert "InMemoryTableScan" in plan
     args = re.findall(r"(?m)^Arguments: hashpartitioning\((\w+)", plan)
-    assert args == ["fingerprint"], plan
+    assert args and set(a.split("#")[0] for a in args) == \
+        {"fingerprint"}, plan
 
 
 def test_enrich_dup_map_gate_falls_back_to_shuffle_join(spark):

@@ -191,3 +191,34 @@ def test_jpeg_rejects_non_baseline():
     j[sof + 1] = 0xC2  # claim progressive
     with pytest.raises(ValueError):
         decode_jpeg(bytes(j))
+
+
+def test_jpeg_truncated_entropy_decodes_partially():
+    """r4 review: a stream cut mid-entropy-data drains with zero bits
+    (media.py truncation convention) instead of IndexError."""
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    j = make_jpeg(32, 32, bytes([200]) * 1024, quant=QUANT_FLAT)
+    sos_end = j.find(b"\xFF\xDA") + 14  # past the SOS header
+    cut = sos_end + (len(j) - sos_end) // 2  # mid-entropy-data
+    d = decode_jpeg(j[:cut])
+    assert (d["width"], d["height"]) == (32, 32)
+    assert len(d["pixels"]) == 1024
+    # a cut inside a HEADER segment raises ValueError, never IndexError
+    import pytest
+    with pytest.raises(ValueError):
+        decode_jpeg(j[:j.find(b"\xFF\xC4") + 10])
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """Spec-legal 0xFF fill bytes before a marker (B.1.1.2) must not
+    derail the header walk."""
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    j = make_jpeg(8, 8, bytes([77]) * 64, quant=QUANT_FLAT)
+    sof = j.find(b"\xFF\xC0")
+    padded = j[:sof] + b"\xFF\xFF\xFF" + j[sof:]
+    d = decode_jpeg(padded)
+    assert set(d["pixels"]) == {77}

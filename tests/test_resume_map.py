@@ -500,3 +500,39 @@ def test_resume2_bullets_match_reference_golden():
     m = map_resume(r["text"], r["links"])
     assert (m["experience_details"][0]["key_responsibilities"]
             == ref["experience_details"][0]["key_responsibilities"])
+
+
+def test_entry_header_accepts_brands_and_dotted_orgs():
+    """r4 review: 'Acme Inc.' / 'eBay' headers still split entries;
+    sentence fragments still don't."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _looks_like_entry_header, _split_period_entries)
+    assert _looks_like_entry_header("Acme Inc.")
+    assert _looks_like_entry_header("eBay")
+    assert _looks_like_entry_header("iQuest Srl")
+    assert not _looks_like_entry_header("issues immediately.")
+    assert not _looks_like_entry_header(
+        "Answer customer inquiries and resolve issues here.")
+    g = ["Prev Corp", "Dev 01/2020 – 02/2021",
+         "Acme Inc.", "Engineer 03/2021 – 04/2022"]
+    assert len(_split_period_entries(g)) == 2
+
+
+def test_unweave_requires_sidebar_label_before_stripping():
+    """r4 review: number-leading body fragments ('5 Star Hotel,',
+    '2020/2021 season') survive when no sidebar label precedes them."""
+    from resume_parser_service_spark.kernels.resume_map import (
+        _unweave_sidebar)
+    body = ["5 Star Hotel, managed guest relations",
+            "2020/2021 season revenue doubled"]
+    assert _unweave_sidebar(body) == body
+    # with a sidebar in play, contact fragments still strip
+    woven = ["Contact", "+44 7700 900000 tasks completed on time"]
+    assert _unweave_sidebar(woven) == ["tasks completed on time"]
+
+
+def test_sidebar_address_stops_at_mobile_label():
+    from resume_parser_service_spark.kernels.resume_map import (
+        _labeled_sidebar_address)
+    lines = ["Address:", "12 Foo Street,", "Mobile: 0791 234 567"]
+    assert _labeled_sidebar_address(lines) == "12 Foo Street"

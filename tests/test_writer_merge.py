@@ -169,3 +169,19 @@ def test_versioned_compaction_respects_tombstones(spark, tmp_path):
     tbl.compact(spark, mode="current", keep_versions=5)
     hist = tbl.read_versions(spark, key="u1").collect()
     assert [(r["_version"], r["text"]) for r in hist] == [(1, "reborn")]
+
+
+def test_append_compact_preserves_snapshot_order(spark, tmp_path):
+    """r4 review: append-mode compaction must keep original snapshot
+    stamps so per-key order (read_versions) survives the rewrite."""
+    import pytest
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [("u1", "first", [1.0])]))
+    tbl.commit(_df(spark, [("u1", "second", [1.0])]))
+    tbl.compact(spark, mode="append")
+    tbl.expire_snapshots()
+    hist = tbl.read_versions(spark, key="u1").orderBy("_version").collect()
+    assert [(r["_version"], r["text"]) for r in hist] == \
+        [(1, "first"), (2, "second")]
+    with pytest.raises(ValueError):
+        tbl.compact(spark, mode="append", keep_versions=2)
