@@ -106,7 +106,7 @@ _C = _dct_basis()
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
     """value -> (code, length), canonical T.81 code assignment."""
     out, code, k = {}, 0, 0
-    if sum(bits) > len(vals):
+    if len(bits) < 16 or sum(bits) > len(vals):
         raise ValueError("truncated Huffman table")
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -151,11 +151,13 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.exhausted = False  # ran past the end (truncated stream)
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
             # truncated entropy data: drain with zero bits (media.py
             # truncation-tolerance convention) instead of IndexError
+            self.exhausted = True
             self.acc <<= 8
             self.n += 8
             return
@@ -173,8 +175,11 @@ class _BitReader:
                 self.pos += 1  # consume the marker low byte
                 raise _RestartMarker(nxt)
             else:
-                b = 0  # past EOI / marker: pad (decoder drain)
+                # a real marker (EOI / next segment): the entropy
+                # segment is over — pad and flag so the MCU loop stops
+                b = 0
                 self.pos -= 1
+                self.exhausted = True
         self.acc = (self.acc << 8) | b
         self.n += 8
 
@@ -371,6 +376,8 @@ def decode_jpeg(data: bytes) -> dict:
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 n = 64 * (2 if pq else 1)
                 raw = body[b + 1:b + 1 + n]
+                if len(raw) < n:
+                    raise ValueError("truncated DQT")
                 vals = (struct.unpack(f">{64}H", raw) if pq
                         else list(raw))
                 q = np.empty(64)
@@ -400,11 +407,17 @@ def decode_jpeg(data: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if not body:
+                raise ValueError("truncated SOS")
             ns = body[0]
+            if len(body) < 1 + ns * 2:
+                raise ValueError("truncated SOS")
             scan_comps = []
             for ci in range(ns):
                 cs, tt = body[1 + ci * 2], body[2 + ci * 2]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("SOS references unknown component")
                 scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
             scan_pos = pos + 2 + seglen
             break
@@ -412,6 +425,14 @@ def decode_jpeg(data: bytes) -> dict:
     if width is None or scan_pos is None:
         raise ValueError("missing SOF/SOS")
 
+    if width * height > 100_000_000:
+        raise ValueError("image too large for pure-Python decode")
+    for c in scan_comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("invalid sampling factors")
+        if c["td"] not in htabs or (0x10 | c["ta"]) not in htabs \
+                or c["tq"] not in qtabs:
+            raise ValueError("scan references a missing table")
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcus_x = -(-width // (8 * hmax))
@@ -424,7 +445,11 @@ def decode_jpeg(data: bytes) -> dict:
     preds = [0] * len(scan_comps)
     mcu_count = 0
     for my in range(mcus_y):
+        if r.exhausted:
+            break  # truncated stream: remaining MCUs stay zero
         for mx in range(mcus_x):
+            if r.exhausted:
+                break
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
                 r.align_restart()

@@ -222,3 +222,29 @@ def test_jpeg_fill_bytes_before_marker():
     padded = j[:sof] + b"\xFF\xFF\xFF" + j[sof:]
     d = decode_jpeg(padded)
     assert set(d["pixels"]) == {77}
+
+
+def test_jpeg_mutation_fuzz_fails_closed_fast():
+    """Seeded byte-mutation fuzz (the pdf_fuzz recipe): every mutant
+    either decodes or raises ValueError — no IndexError, no
+    struct.error, and no pathological slow path (the corrupted-SOF
+    giant-image case short-circuits via the exhausted bitreader)."""
+    import random
+    import time
+
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    rng = random.Random(7)
+    base = make_jpeg(16, 12, bytes(rng.randrange(256) for _ in range(192)),
+                     quant=QUANT_FLAT)
+    t0 = time.time()
+    for _ in range(800):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass
+    assert time.time() - t0 < 60

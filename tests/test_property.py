@@ -118,3 +118,33 @@ def test_map_resume_total_function(text, links):
     assert map_resume(text, links) == m
     json.dumps(canonical_resume_json(m))
     resume_to_text(m)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 24), h=st.integers(1, 24), seed=st.integers(0, 2**31))
+def test_jpeg_roundtrip_property(w, h, seed):
+    """Flat-quant baseline JPEG round-trips ARBITRARY small images to
+    within the DCT integer-rounding bound (|err| <= 1 per pixel)."""
+    import random
+
+    from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
+                                                          decode_jpeg,
+                                                          make_jpeg)
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    d = decode_jpeg(make_jpeg(w, h, px, quant=QUANT_FLAT))
+    assert (d["width"], d["height"]) == (w, h)
+    assert len(d["pixels"]) == w * h
+    assert max(abs(a - b) for a, b in zip(px, d["pixels"])) <= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_jpeg_garbage_fails_closed(data):
+    """Arbitrary bytes into decode_jpeg: ValueError or a decode,
+    never IndexError/struct.error/hang."""
+    from resume_parser_service_spark.kernels.jpeg import decode_jpeg
+    try:
+        decode_jpeg(b"\xFF\xD8" + data)
+    except ValueError:
+        pass
