@@ -22,7 +22,8 @@ import struct
 import zlib
 
 __all__ = ["make_png", "decode_png", "make_wav", "decode_wav",
-           "make_y4m", "decode_y4m", "resize_nearest"]
+           "make_y4m", "decode_y4m", "resize_nearest",
+           "make_adpcm_wav", "decode_adpcm_wav"]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -161,3 +162,145 @@ def decode_y4m(data: bytes, sample_every: int = 2) -> dict:
             "frames_sampled": len(sampled_lumas),
             "mean_sampled_luma": (sum(sampled_lumas) / len(sampled_lumas)
                                   if sampled_lumas else None)}
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (DVI4) — compressed audio, WAV format tag 0x11. Public
+# spec: IMA "Recommended Practices for Enhancing Digital Audio
+# Compatibility" rev 3.00 (the step/index tables below are the spec's
+# Tables 2 and 3); 4 bits/sample vs 16-bit PCM = 4:1 compression. The
+# compressed-audio sibling of kernels/jpeg.py: real codec work, no
+# libraries.
+# --------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if n & 4:
+        diff += step
+    if n & 2:
+        diff += step >> 1
+    if n & 1:
+        diff += step >> 2
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[n]))
+    return pred, index
+
+
+def _ima_encode_sample(sample: int, pred: int, index: int
+                       ) -> tuple[int, int, int]:
+    step = _IMA_STEPS[index]
+    delta = sample - pred
+    n = 0
+    if delta < 0:
+        n = 8
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    pred, index = _ima_decode_nibble(n, pred, index)
+    return n, pred, index
+
+
+def make_adpcm_wav(samples16: list[int], rate: int = 8000,
+                   block_samples: int = 505) -> bytes:
+    """Mono IMA-ADPCM WAV (format tag 0x11). Each block: 4-byte header
+    (int16 predictor = first sample verbatim, uint8 step index, pad)
+    then 4-bit nibbles, low nibble first."""
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    blocks = []
+    index = 0
+    for b0 in range(0, len(samples16), block_samples):
+        chunk = samples16[b0:b0 + block_samples]
+        pred = max(-32768, min(32767, int(chunk[0])))
+        blk = bytearray(struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            n, pred, index = _ima_encode_sample(int(s), pred, index)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            blk.append(lo | (hi << 4))
+        blocks.append(bytes(blk))
+    payload = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // block_samples, block_align,
+                      4, 2, block_samples)
+    # the fact chunk is REQUIRED for non-PCM WAVE (RIFF spec): it
+    # carries the true sample count, which disambiguates the final
+    # partial block's pad nibble on decode
+    fact = struct.pack("<I", len(samples16))
+    body = (b"WAVE" +
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"fact" + struct.pack("<I", len(fact)) + fact +
+            b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_adpcm_wav(data: bytes) -> dict:
+    """Decode a mono IMA-ADPCM WAV back to 16-bit samples. Returns
+    rate, n_samples, duration_ms, samples (list[int])."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate = block_align = block_samples = None
+    n_total = None
+    payload = b""
+    while pos + 8 <= len(data):
+        typ = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if typ == b"fmt ":
+            if len(body) < 20:
+                raise ValueError("truncated fmt chunk")
+            tag, channels, rate, _br, block_align, bits, _cb, \
+                block_samples = struct.unpack("<HHIIHHHH", body[:20])
+            if tag != 0x11 or channels != 1 or bits != 4:
+                raise ValueError("only mono IMA ADPCM supported")
+        elif typ == b"fact" and len(body) >= 4:
+            (n_total,) = struct.unpack("<I", body[:4])
+        elif typ == b"data":
+            payload = body
+    if rate is None or block_align is None:
+        raise ValueError("no fmt chunk")
+    out: list[int] = []
+    for b0 in range(0, len(payload), block_align):
+        blk = payload[b0:b0 + block_align]
+        if len(blk) < 4:
+            break  # truncated trailing block
+        pred, index, _ = struct.unpack("<hBB", blk[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        produced = 1
+        for byte in blk[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                if produced >= block_samples:
+                    break
+                pred, index = _ima_decode_nibble(n, pred, index)
+                out.append(pred)
+                produced += 1
+    if n_total is not None:
+        out = out[:n_total]
+    return {"rate": rate, "n_samples": len(out),
+            "duration_ms": round(1000 * len(out) / rate) if rate else 0,
+            "samples": out}

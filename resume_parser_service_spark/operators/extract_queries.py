@@ -196,6 +196,12 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
     if kind == "audio":
         n, val = 1000 + i % 500, 64 + i % 100
         return media.make_wav(bytes([val]) * n, rate=8000)
+    if kind == "adpcm":
+        # IMA-ADPCM (kernels/media.py, format tag 0x11): a constant
+        # 16-bit signal round-trips EXACTLY (zero-diff nibbles at step
+        # index 0), so the decoded mean is oracle-stateable
+        n, val = 500 + i % 300, (i % 2000) - 1000
+        return media.make_adpcm_wav([val] * n, rate=8000)
     lumas = [i % 200] * (2 + i % 5)
     return media.make_y4m(16, 8, lumas)
 
@@ -233,6 +239,12 @@ def _multimodal_kernel(batches: Iterator) -> Iterator:
                        "frames_sampled": 1,
                        "feature": round(sum(wav["samples"]) /
                                         len(wav["samples"]), 4)}
+            elif kind == "adpcm":
+                wav = media.decode_adpcm_wav(data)
+                row = {"dim1": wav["rate"], "dim2": wav["n_samples"],
+                       "frames_sampled": 1,
+                       "feature": round(sum(wav["samples"]) /
+                                        len(wav["samples"]), 4)}
             else:
                 vid = media.decode_y4m(data, sample_every=2)
                 row = {"dim1": vid["width"], "dim2": vid["height"],
@@ -248,10 +260,11 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     payloads = spark.table("documents").select(
         "doc_id",
-        F.expr("CASE WHEN doc_id % 4 = 0 THEN 'image' "
-               "WHEN doc_id % 4 = 1 THEN 'audio' "
-               "WHEN doc_id % 4 = 2 THEN 'video' "
-               "ELSE 'jpeg' END").alias("media_type")
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN 'image' "
+               "WHEN doc_id % 5 = 1 THEN 'audio' "
+               "WHEN doc_id % 5 = 2 THEN 'video' "
+               "WHEN doc_id % 5 = 3 THEN 'jpeg' "
+               "ELSE 'adpcm' END").alias("media_type")
     ).mapInPandas(_payload_builder,
                   schema="doc_id long, media_type string, payload binary")
     return payloads.mapInPandas(
@@ -271,21 +284,24 @@ def _payload_builder(batches: Iterator) -> Iterator:
 
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
-       CASE WHEN doc_id % 4 = 0 THEN 'image'
-            WHEN doc_id % 4 = 1 THEN 'audio'
-            WHEN doc_id % 4 = 2 THEN 'video'
-            ELSE 'jpeg' END AS media_type,
-       cast(CASE WHEN doc_id % 4 = 1 THEN 8000
-                 WHEN doc_id % 4 = 2 THEN 16
+       CASE WHEN doc_id % 5 = 0 THEN 'image'
+            WHEN doc_id % 5 = 1 THEN 'audio'
+            WHEN doc_id % 5 = 2 THEN 'video'
+            WHEN doc_id % 5 = 3 THEN 'jpeg'
+            ELSE 'adpcm' END AS media_type,
+       cast(CASE WHEN doc_id % 5 IN (1, 4) THEN 8000
+                 WHEN doc_id % 5 = 2 THEN 16
                  ELSE 8 + doc_id % 9 END as bigint) AS dim1,
-       cast(CASE WHEN doc_id % 4 = 1 THEN 1000 + doc_id % 500
-                 WHEN doc_id % 4 = 2 THEN 8
+       cast(CASE WHEN doc_id % 5 = 1 THEN 1000 + doc_id % 500
+                 WHEN doc_id % 5 = 2 THEN 8
+                 WHEN doc_id % 5 = 4 THEN 500 + doc_id % 300
                  ELSE 8 + doc_id % 5 END as bigint) AS dim2,
-       cast(CASE WHEN doc_id % 4 = 2
+       cast(CASE WHEN doc_id % 5 = 2
                  THEN (2 + doc_id % 5 + 1) // 2
                  ELSE 1 END as bigint) AS frames_sampled,
-       cast(CASE WHEN doc_id % 4 = 1 THEN 64 + doc_id % 100
-                 WHEN doc_id % 4 = 2 THEN doc_id % 200
+       cast(CASE WHEN doc_id % 5 = 1 THEN 64 + doc_id % 100
+                 WHEN doc_id % 5 = 2 THEN doc_id % 200
+                 WHEN doc_id % 5 = 4 THEN doc_id % 2000 - 1000
                  ELSE doc_id % 256 END as double) AS feature
 FROM documents ORDER BY doc_id"""
 

@@ -248,3 +248,55 @@ def test_jpeg_mutation_fuzz_fails_closed_fast():
         except ValueError:
             pass
     assert time.time() - t0 < 60
+
+
+# ---------------------------------------------------------------------
+# IMA ADPCM (compressed audio, WAV tag 0x11)
+# ---------------------------------------------------------------------
+
+def test_adpcm_constant_signal_roundtrips_exactly():
+    """Zero-diff nibbles at step index 0 keep the predictor constant —
+    the invariant the multimodal oracle states."""
+    from resume_parser_service_spark.kernels.media import (
+        decode_adpcm_wav, make_adpcm_wav)
+    for val in (-1000, -1, 0, 7, 12345):
+        d = decode_adpcm_wav(make_adpcm_wav([val] * 777, rate=8000))
+        assert d["n_samples"] == 777
+        assert set(d["samples"]) == {val}
+
+
+def test_adpcm_sine_tracks_within_codec_noise():
+    import math
+    import statistics
+
+    from resume_parser_service_spark.kernels.media import (
+        decode_adpcm_wav, make_adpcm_wav)
+    src = [int(8000 * math.sin(i / 20)) for i in range(2000)]
+    d = decode_adpcm_wav(make_adpcm_wav(src))
+    errs = [abs(a - b) for a, b in zip(src, d["samples"])]
+    sig = statistics.mean(abs(s) for s in src)
+    assert d["n_samples"] == len(src)
+    assert statistics.mean(errs) < sig / 50  # > ~34 dB on a smooth tone
+
+
+def test_adpcm_multi_block_and_compression_ratio():
+    from resume_parser_service_spark.kernels.media import (
+        decode_adpcm_wav, make_adpcm_wav)
+    src = [(i * 37) % 2000 - 1000 for i in range(1600)]
+    data = make_adpcm_wav(src, block_samples=505)
+    assert len(data) < 2 * len(src)  # ~4:1 vs 16-bit PCM
+    d = decode_adpcm_wav(data)
+    assert d["n_samples"] == 1600
+    # block boundaries re-anchor the predictor verbatim
+    assert d["samples"][0] == src[0]
+    assert d["samples"][505] == src[505]
+    assert d["samples"][1010] == src[1010]
+
+
+def test_adpcm_rejects_pcm_and_garbage():
+    from resume_parser_service_spark.kernels.media import (
+        decode_adpcm_wav, make_wav)
+    with pytest.raises(ValueError):
+        decode_adpcm_wav(make_wav(bytes(100)))
+    with pytest.raises(ValueError):
+        decode_adpcm_wav(b"RIFFxxxxWAVEjunk")
