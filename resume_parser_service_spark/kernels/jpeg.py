@@ -196,12 +196,17 @@ class _BitReader:
         return v
 
     def align_restart(self) -> None:
-        """Consume padding up to and including a restart marker."""
+        """Consume padding up to and including a restart marker; a
+        stream with no remaining marker flags exhaustion instead of
+        scanning past the end."""
         self.acc, self.n = 0, 0
-        while self.data[self.pos] != 0xFF or \
-                not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and \
+                    0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
             self.pos += 1
-        self.pos += 2
+        self.exhausted = True
 
 
 class _RestartMarker(Exception):
@@ -386,7 +391,11 @@ def decode_jpeg(data: bytes) -> dict:
                 qtabs[tq] = q.reshape(8, 8)
                 b += 1 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+ext sequential)
+            if len(body) < 6:
+                raise ValueError("truncated SOF")
             _, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + nc * 3:
+                raise ValueError("truncated SOF")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
@@ -405,6 +414,8 @@ def decode_jpeg(data: bytes) -> dict:
                 htabs[tc_th] = _huff_decode_map(bits, vals)
                 b += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if not body:

@@ -292,7 +292,9 @@ def decode_adpcm_wav(data: bytes) -> dict:
         index = max(0, min(88, index))
         out.append(pred)
         produced = 1
-        for byte in blk[4:]:
+        # at most (block_samples - 1) nibbles carry data — bounding
+        # the byte slice avoids walking a crafted block's dead tail
+        for byte in blk[4:4 + (block_samples - 1 + 1) // 2]:
             for n in (byte & 0x0F, byte >> 4):
                 if produced >= block_samples:
                     break

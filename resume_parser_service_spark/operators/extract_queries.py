@@ -184,13 +184,15 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
     from ..kernels import jpeg, media
     i = int(doc_id)
     if kind == "image":
-        w, h, val = 8 + i % 9, 8 + i % 5, i % 256
+        # content moduli coprime to the mod-5 kind cycle, so heights
+        # and values still VARY within each kind (r4 review)
+        w, h, val = 8 + i % 9, 8 + i % 6, i % 256
         return media.make_png(w, h, bytes([val]) * (w * h))
     if kind == "jpeg":
         # baseline JPEG (kernels/jpeg.py): flat quant table so the
         # solid-gray DC-only block reconstructs the value EXACTLY and
         # the oracle can state the decoded mean
-        w, h, val = 8 + i % 9, 8 + i % 5, i % 256
+        w, h, val = 8 + i % 9, 8 + i % 6, i % 256
         return jpeg.make_jpeg(w, h, bytes([val]) * (w * h),
                               quant=jpeg.QUANT_FLAT)
     if kind == "audio":
@@ -202,7 +204,7 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
         # index 0), so the decoded mean is oracle-stateable
         n, val = 500 + i % 300, (i % 2000) - 1000
         return media.make_adpcm_wav([val] * n, rate=8000)
-    lumas = [i % 200] * (2 + i % 5)
+    lumas = [i % 200] * (2 + i % 7)
     return media.make_y4m(16, 8, lumas)
 
 
@@ -295,9 +297,9 @@ SELECT doc_id,
        cast(CASE WHEN doc_id % 5 = 1 THEN 1000 + doc_id % 500
                  WHEN doc_id % 5 = 2 THEN 8
                  WHEN doc_id % 5 = 4 THEN 500 + doc_id % 300
-                 ELSE 8 + doc_id % 5 END as bigint) AS dim2,
+                 ELSE 8 + doc_id % 6 END as bigint) AS dim2,
        cast(CASE WHEN doc_id % 5 = 2
-                 THEN (2 + doc_id % 5 + 1) // 2
+                 THEN (2 + doc_id % 7 + 1) // 2
                  ELSE 1 END as bigint) AS frames_sampled,
        cast(CASE WHEN doc_id % 5 = 1 THEN 64 + doc_id % 100
                  WHEN doc_id % 5 = 2 THEN doc_id % 200

@@ -228,9 +228,11 @@ def test_jpeg_mutation_fuzz_fails_closed_fast():
     """Seeded byte-mutation fuzz (the pdf_fuzz recipe): every mutant
     either decodes or raises ValueError — no IndexError, no
     struct.error, and no pathological slow path (the corrupted-SOF
-    giant-image case short-circuits via the exhausted bitreader)."""
+    giant-image case short-circuits via the exhausted bitreader). The
+    no-hang property is guarded by SIGALRM, not a wall-clock
+    assertion — single timings are host-noise-dependent (r4 review)."""
     import random
-    import time
+    import signal
 
     from resume_parser_service_spark.kernels.jpeg import (QUANT_FLAT,
                                                           decode_jpeg,
@@ -238,16 +240,24 @@ def test_jpeg_mutation_fuzz_fails_closed_fast():
     rng = random.Random(7)
     base = make_jpeg(16, 12, bytes(rng.randrange(256) for _ in range(192)),
                      quant=QUANT_FLAT)
-    t0 = time.time()
-    for _ in range(800):
-        b = bytearray(base)
-        for _ in range(rng.randrange(1, 6)):
-            b[rng.randrange(len(b))] = rng.randrange(256)
-        try:
-            decode_jpeg(bytes(b))
-        except ValueError:
-            pass
-    assert time.time() - t0 < 60
+
+    def _alarm(sig, frm):
+        raise AssertionError("decode_jpeg mutant hang")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(300)
+    try:
+        for _ in range(800):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_jpeg(bytes(b))
+            except ValueError:
+                pass
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 # ---------------------------------------------------------------------
