@@ -10,10 +10,16 @@ Scope (honest, spec-cited):
 
 - **Decoder**: baseline DCT, Huffman, interleaved scans, 1 or 3
   components, sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
-  restart intervals, 0xFF00 byte unstuffing. Progressive/arithmetic
-  raise ``ValueError``.
+  restart intervals, 0xFF00 byte unstuffing. **Progressive (SOF2)**
+  per T.81 Annex G: spectral selection + successive approximation,
+  DC/AC first and refinement scans, EOB runs, non-interleaved AC
+  scans over per-component block grids. Arithmetic coding and
+  lossless/hierarchical frames raise ``ValueError``.
 - **Encoder** (fixture generator + sink symmetry): grayscale or 4:4:4
-  color, Annex K.3 Huffman tables, caller-supplied quant table.
+  color, Annex K.3 Huffman tables, caller-supplied quant table;
+  ``make_progressive_jpeg`` emits spectral-selection-only or full
+  successive-approximation scan scripts (custom uniform-8 AC table so
+  EOBn symbols exist — K.3's baseline tables define none).
 
 The DCT pair runs on numpy (separable orthonormal basis matrix — the
 whole IDCT is two 8x8 matmuls per block), which the container ships;
@@ -28,7 +34,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["make_jpeg", "decode_jpeg", "QUANT_FLAT", "QUANT_K1"]
+__all__ = ["make_jpeg", "make_progressive_jpeg", "decode_jpeg",
+           "QUANT_FLAT", "QUANT_K1"]
 
 # zigzag index order (T.81 Figure 5)
 _ZIGZAG = [
@@ -83,6 +90,16 @@ _AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+# Progressive AC table: the K.3 baseline tables define no EOBn symbols
+# (r<<4 with 1<=r<=14 — band-end runs, T.81 G.1.2.2), so progressive
+# scans use this uniform-length-8 table instead: all 160 (run,size<=10)
+# symbols + EOB0..EOB14 + ZRL = 176 codes, Kraft sum 176/256 < 1, so
+# the canonical assignment is valid and never reaches an all-ones code.
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+            [(r << 4) | s for r in range(16) for s in range(1, 11)]
+            + [r << 4 for r in range(15)] + [0xF0])
 
 
 def _dct_basis() -> np.ndarray:
@@ -277,6 +294,23 @@ def _fdct_quant(plane: np.ndarray, bx: int, by: int,
     return [int(q.flat[z]) for z in _ZIGZAG]
 
 
+def _pad_plane(buf: bytes, width: int, height: int) -> np.ndarray:
+    a = np.frombuffer(buf, dtype=np.uint8).reshape(height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    out = np.empty((ph, pw), dtype=np.uint8)
+    out[:height, :width] = a
+    out[height:, :width] = a[-1:, :]       # edge-replicate pad
+    out[:, width:] = out[:, width - 1:width]
+    return out
+
+
+def _quant_matrix(qtab: list[int]) -> np.ndarray:
+    qmat = np.empty(64)
+    for i, z in enumerate(_ZIGZAG):
+        qmat.flat[z] = qtab[i]
+    return qmat.reshape(8, 8)
+
+
 def make_jpeg(width: int, height: int, pixels: bytes,
               quant: list[int] | None = None,
               chroma: tuple[bytes, bytes] | None = None) -> bytes:
@@ -285,23 +319,12 @@ def make_jpeg(width: int, height: int, pixels: bytes,
     if len(pixels) != width * height:
         raise ValueError("pixel buffer size mismatch")
     qtab = list(quant or QUANT_K1)
-    qmat = np.empty(64)
-    for i, z in enumerate(_ZIGZAG):
-        qmat.flat[z] = qtab[i]
-    qmat = qmat.reshape(8, 8)
+    qmat = _quant_matrix(qtab)
     ncomp = 3 if chroma else 1
 
-    def _pad(buf: bytes) -> np.ndarray:
-        a = np.frombuffer(buf, dtype=np.uint8).reshape(height, width)
-        ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-        out = np.empty((ph, pw), dtype=np.uint8)
-        out[:height, :width] = a
-        out[height:, :width] = a[-1:, :]       # edge-replicate pad
-        out[:, width:] = out[:, width - 1:width]
-        return out
-
-    planes = [_pad(pixels)] + ([_pad(chroma[0]), _pad(chroma[1])]
-                               if chroma else [])
+    planes = [_pad_plane(pixels, width, height)] + (
+        [_pad_plane(chroma[0], width, height),
+         _pad_plane(chroma[1], width, height)] if chroma else [])
     out = bytearray(b"\xFF\xD8")  # SOI
     # DQT (one table, id 0, 8-bit)
     out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(qtab)
@@ -342,14 +365,235 @@ def make_jpeg(width: int, height: int, pixels: bytes,
     return bytes(out)
 
 
+def _enc_dc_first(w: _BitWriter, blocks: list, ncomp: int,
+                  dc_tabs: list[dict], al: int) -> None:
+    """Interleaved DC scan (all 1x1 sampling -> one block/comp per MCU);
+    the coded value is the point-transformed DC (T.81 G.1.2.1)."""
+    preds = [0] * ncomp
+    by_n = len(blocks[0])
+    bx_n = len(blocks[0][0])
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(ncomp):
+                v = blocks[ci][by][bx][0] >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _mag_cat(diff)
+                code, ln = dc_tabs[ci][t]
+                w.write(code, ln)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_dc_refine(w: _BitWriter, blocks: list, ncomp: int,
+                   al: int) -> None:
+    for by in range(len(blocks[0])):
+        for bx in range(len(blocks[0][0])):
+            for ci in range(ncomp):
+                w.write((blocks[ci][by][bx][0] >> al) & 1, 1)
+
+
+def _enc_ac_first(w: _BitWriter, blocks_flat: list, ac: dict,
+                  al: int, ss: int = 1, se: int = 63) -> None:
+    """Non-interleaved AC first scan with cross-block EOB runs
+    (T.81 G.1.2.2); AC point transform truncates toward zero."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            w.write(code, ln)
+            if n:
+                w.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for coefs in blocks_flat:
+        band = []
+        for k in range(ss, se + 1):
+            v = coefs[k]
+            t = (abs(v) >> al)
+            band.append(t if v >= 0 else -t)
+        last_nz = max((i for i, v in enumerate(band) if v), default=-1)
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for v in band[:last_nz + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac[0xF0]
+                w.write(code, ln)
+                run -= 16
+            t = _mag_cat(v)
+            code, ln = ac[(run << 4) | t]
+            w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(w: _BitWriter, blocks_flat: list, ac: dict,
+                   al: int, ss: int = 1, se: int = 63) -> None:
+    """AC successive-approximation refinement scan (T.81 G.1.2.3):
+    newly-nonzero coefficients are coded as (run, size=1)+sign;
+    already-nonzero ones contribute one buffered correction bit,
+    flushed after the next code (the decoder reads them while
+    advancing over the run)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits awaiting the next flush
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            w.write(code, ln)
+            if n:
+                w.write(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+
+    for coefs in blocks_flat:
+        absv = [abs(coefs[k]) >> al for k in range(ss, se + 1)]
+        signs = [coefs[k] >= 0 for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i  # last newly-nonzero position
+        run = 0
+        block_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                flush_eob()
+                code, ln = ac[0xF0]
+                w.write(code, ln)
+                run -= 16
+                for b in block_bits:
+                    w.write(b, 1)
+                block_bits = []
+            if t > 1:
+                block_bits.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if signs[i] else 0, 1)
+            run = 0
+            for b in block_bits:
+                w.write(b, 1)
+            block_bits = []
+        if run > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def make_progressive_jpeg(width: int, height: int, pixels: bytes,
+                          quant: list[int] | None = None,
+                          chroma: tuple[bytes, bytes] | None = None,
+                          successive: bool = False) -> bytes:
+    """Progressive JPEG (SOF2) fixture encoder, 1x1 sampling.
+
+    ``successive=False``: spectral selection only — one interleaved DC
+    scan then one full-band AC scan per component. ``successive=True``
+    adds successive approximation: DC at Al=1 + DC refinement, AC at
+    Al=1 + AC refinement (exercises every Annex-G decode path incl.
+    EOB runs and correction bits)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer size mismatch")
+    qtab = list(quant or QUANT_K1)
+    qmat = _quant_matrix(qtab)
+    ncomp = 3 if chroma else 1
+    planes = [_pad_plane(pixels, width, height)] + (
+        [_pad_plane(chroma[0], width, height),
+         _pad_plane(chroma[1], width, height)] if chroma else [])
+    by_n, bx_n = -(-height // 8), -(-width // 8)
+    blocks = [[[_fdct_quant(planes[ci], bx, by, qmat)
+                for bx in range(bx_n)] for by in range(by_n)]
+              for ci in range(ncomp)]
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    tables = [(0x00, _DC_LUM), (0x10, _AC_PROG)]
+    if chroma:
+        tables.append((0x01, _DC_CHR))
+    for tc, (bits, vals) in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+    dc_tabs = [_huff_codes(*_DC_LUM)] + [_huff_codes(*_DC_CHR)] * 2
+    ac_tab = _huff_codes(*_AC_PROG)
+
+    def emit_scan(comp_ids: list[int], ss: int, se: int, ah: int,
+                  al: int, body: bytes) -> None:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            sos += bytes([cid, (td << 4) | 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos)
+        out.extend(body)
+
+    all_ids = list(range(1, ncomp + 1))
+    flat = [[blk for row in blocks[ci] for blk in row]
+            for ci in range(ncomp)]
+    if not successive:
+        w = _BitWriter()
+        _enc_dc_first(w, blocks, ncomp, dc_tabs, 0)
+        emit_scan(all_ids, 0, 0, 0, 0, w.flush())
+        for ci in range(ncomp):
+            w = _BitWriter()
+            _enc_ac_first(w, flat[ci], ac_tab, 0)
+            emit_scan([ci + 1], 1, 63, 0, 0, w.flush())
+    else:
+        w = _BitWriter()
+        _enc_dc_first(w, blocks, ncomp, dc_tabs, 1)
+        emit_scan(all_ids, 0, 0, 0, 1, w.flush())
+        for ci in range(ncomp):
+            w = _BitWriter()
+            _enc_ac_first(w, flat[ci], ac_tab, 1)
+            emit_scan([ci + 1], 1, 63, 0, 1, w.flush())
+        w = _BitWriter()
+        _enc_dc_refine(w, blocks, ncomp, 0)
+        emit_scan(all_ids, 0, 0, 1, 0, w.flush())
+        for ci in range(ncomp):
+            w = _BitWriter()
+            _enc_ac_refine(w, flat[ci], ac_tab, 0)
+            emit_scan([ci + 1], 1, 63, 1, 0, w.flush())
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> dict:
-    """Decode baseline JPEG -> {"width", "height", "n_components",
-    "pixels": bytes (Y plane, row-major)}. Raises ValueError on
-    progressive (SOF2) / arithmetic / lossless frames."""
+    """Decode baseline or progressive JPEG -> {"width", "height",
+    "n_components", "pixels": bytes (Y plane, row-major)}. Raises
+    ValueError on arithmetic-coded / lossless / hierarchical frames."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -360,6 +604,9 @@ def decode_jpeg(data: bytes) -> dict:
     restart_interval = 0
     scan_pos = None
     scan_comps: list[dict] = []
+    progressive = False
+    prog: dict | None = None  # allocated at first progressive SOS
+    nscans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -390,20 +637,22 @@ def decode_jpeg(data: bytes) -> dict:
                     q.flat[z] = vals[i]
                 qtabs[tq] = q.reshape(8, 8)
                 b += 1 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 + progressive SOF2
             if len(body) < 6:
                 raise ValueError("truncated SOF")
             _, height, width, nc = struct.unpack(">BHHB", body[:6])
             if len(body) < 6 + nc * 3:
                 raise ValueError("truncated SOF")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline/progressive Huffman JPEG supported")
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -423,16 +672,34 @@ def decode_jpeg(data: bytes) -> dict:
             ns = body[0]
             if len(body) < 1 + ns * 2:
                 raise ValueError("truncated SOS")
+            if progressive and prog is None:
+                # before scan_comps copies comps: adds bw/bh grids
+                prog = _prog_alloc(width, height, comps)
             scan_comps = []
             for ci in range(ns):
                 cs, tt = body[1 + ci * 2], body[2 + ci * 2]
                 comp = next((c for c in comps if c["id"] == cs), None)
                 if comp is None:
                     raise ValueError("SOS references unknown component")
-                scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
-            scan_pos = pos + 2 + seglen
-            break
+                scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 0x0F,
+                                   "ci": comps.index(comp)})
+            if not progressive:
+                scan_pos = pos + 2 + seglen
+                break
+            if len(body) < 1 + ns * 2 + 3:
+                raise ValueError("truncated SOS")
+            ss, se, ahl = body[1 + ns * 2:4 + ns * 2]
+            ah, al = ahl >> 4, ahl & 0x0F
+            pos = _decode_prog_scan(
+                data, pos + 2 + seglen, scan_comps, prog, ss, se, ah,
+                al, htabs, restart_interval)
+            nscans += 1
+            continue
         pos += 2 + seglen
+    if progressive:
+        if prog is None or not nscans:
+            raise ValueError("missing SOF/SOS")
+        return _prog_reconstruct(width, height, comps, qtabs, prog)
     if width is None or scan_pos is None:
         raise ValueError("missing SOF/SOS")
 
@@ -516,3 +783,234 @@ def _decode_block(r: _BitReader, dc: dict, ac: dict,
         k += 1
     blk = coefs.reshape(8, 8) * quant
     return _C.T @ blk @ _C + 128.0, dcval
+
+
+# --------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G)
+# --------------------------------------------------------------------------
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker (skips stuffed 0xFF00, fill
+    0xFFFF runs, and restart markers) — where the header walk resumes
+    after a progressive entropy segment."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF) \
+                and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _prog_alloc(width: int, height: int, comps: list[dict]) -> dict:
+    """Frame-lifetime coefficient store: per component, an int32
+    (blocks_y, blocks_x, 64) array in natural (row-major) coefficient
+    order, padded to the interleaved MCU grid; scans accumulate into
+    it and the IDCT runs once at EOI."""
+    if not comps:
+        raise ValueError("SOS before SOF")
+    if width * height > 100_000_000:
+        raise ValueError("image too large for pure-Python decode")
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("invalid sampling factors")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    store = []
+    for c in comps:
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)  # non-interleaved grid
+        store.append(np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                              dtype=np.int32))
+    return {"store": store, "mcus_x": mcus_x, "mcus_y": mcus_y,
+            "hmax": hmax, "vmax": vmax}
+
+
+def _decode_prog_scan(data: bytes, start: int, scan_comps: list[dict],
+                      prog: dict, ss: int, se: int, ah: int, al: int,
+                      htabs: dict, restart_interval: int) -> int:
+    """Decode one progressive scan into the coefficient store; returns
+    the stream position of the next marker. Truncated entropy data
+    leaves the remaining blocks at their prior value (media.py
+    truncation-tolerance convention)."""
+    if al > 13 or ah > 13:
+        raise ValueError("invalid successive approximation")
+    store = prog["store"]
+    r = _BitReader(data, start)
+    eobrun = 0
+    preds = [0] * len(scan_comps)
+
+    def dc_block(arr: np.ndarray, by: int, bx: int, si: int) -> None:
+        if ah == 0:
+            t = _decode_huff(r, htabs[scan_comps[si]["td"]])
+            if t > 15:
+                raise ValueError("invalid DC category")
+            diff = _extend(r.bits(t), t) if t else 0
+            preds[si] += diff
+            arr[by, bx, 0] = preds[si] << al
+        elif r.bit():
+            arr[by, bx, 0] = int(arr[by, bx, 0]) | (1 << al)
+
+    def ac_first_block(arr: np.ndarray, by: int, bx: int,
+                       actab: dict) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(r, actab)
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.bits(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC index overflow")
+            arr[by, bx, _ZIGZAG[k]] = _extend(r.bits(s), s) << al
+            k += 1
+
+    def ac_refine_block(arr: np.ndarray, by: int, bx: int,
+                        actab: dict) -> None:
+        # G.2 / classic IJG control flow: correction bits for
+        # already-nonzero coefficients are read while advancing over a
+        # run; EOB runs refine the rest of the band.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(r, actab)
+                run, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.bits(run)
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement size")
+                    newval = p1 if r.bit() else m1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    v = int(arr[by, bx, z])
+                    if v != 0:
+                        if r.bit() and (v & p1) == 0:
+                            arr[by, bx, z] = v + (p1 if v > 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    arr[by, bx, _ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = _ZIGZAG[k]
+                v = int(arr[by, bx, z])
+                if v != 0 and r.bit() and (v & p1) == 0:
+                    arr[by, bx, z] = v + (p1 if v > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    # ---- validate band + tables for this scan ----
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            for c in scan_comps:
+                if c["td"] not in htabs:
+                    raise ValueError("scan references a missing table")
+    else:
+        if not (ss <= se <= 63) or len(scan_comps) != 1:
+            raise ValueError("invalid progressive AC scan")
+        if (0x10 | scan_comps[0]["ta"]) not in htabs:
+            raise ValueError("scan references a missing table")
+
+    def resync() -> None:
+        nonlocal eobrun, preds
+        r.acc, r.n = 0, 0
+        eobrun = 0
+        preds = [0] * len(scan_comps)
+
+    unit = 0  # restart-interval counter (MCUs, or blocks when ns==1)
+
+    def at_boundary() -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            r.align_restart()
+            resync()
+
+    if ss == 0 and len(scan_comps) > 1:  # interleaved DC scan
+        for my in range(prog["mcus_y"]):
+            if r.exhausted:
+                break
+            for mx in range(prog["mcus_x"]):
+                if r.exhausted:
+                    break
+                at_boundary()
+                try:
+                    for si, c in enumerate(scan_comps):
+                        arr = store[c["ci"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(arr, my * c["v"] + by,
+                                         mx * c["h"] + bx, si)
+                except _RestartMarker:
+                    resync()
+                unit += 1
+    else:  # non-interleaved: one component, its own block grid
+        c = scan_comps[0]
+        arr = store[c["ci"]]
+        actab = htabs.get(0x10 | c["ta"])
+        done = False
+        for by in range(c["bh"]):
+            if done:
+                break
+            for bx in range(c["bw"]):
+                if r.exhausted:
+                    done = True
+                    break
+                at_boundary()
+                try:
+                    if ss == 0:
+                        dc_block(arr, by, bx, 0)
+                    elif ah == 0:
+                        ac_first_block(arr, by, bx, actab)
+                    else:
+                        ac_refine_block(arr, by, bx, actab)
+                except _RestartMarker:
+                    resync()
+                unit += 1
+    return _next_marker(data, r.pos)
+
+
+def _prog_reconstruct(width: int, height: int, comps: list[dict],
+                      qtabs: dict, prog: dict) -> dict:
+    """Dequantize + IDCT the luma component's accumulated coefficients
+    (chroma coefficients are decoded to keep the streams aligned but
+    only the Y plane is surfaced, matching the baseline contract)."""
+    c0 = comps[0]
+    if c0["tq"] not in qtabs:
+        raise ValueError("scan references a missing table")
+    q = qtabs[c0["tq"]]
+    bh, bw = c0["bh"], c0["bw"]
+    coefs = prog["store"][0][:bh, :bw].astype(np.float64)
+    blk = coefs.reshape(bh, bw, 8, 8) * q
+    out = _C.T @ blk @ _C + 128.0
+    plane = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    yw = -(-width * c0["h"] // prog["hmax"])
+    yh = -(-height * c0["v"] // prog["vmax"])
+    y = np.clip(np.round(plane), 0, 255).astype(np.uint8)[:yh, :yw]
+    return {"width": width, "height": height,
+            "n_components": len(comps), "pixels": y.tobytes()}

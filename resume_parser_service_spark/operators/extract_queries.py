@@ -189,12 +189,19 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
         w, h, val = 8 + i % 9, 8 + i % 6, i % 256
         return media.make_png(w, h, bytes([val]) * (w * h))
     if kind == "jpeg":
-        # baseline JPEG (kernels/jpeg.py): flat quant table so the
-        # solid-gray DC-only block reconstructs the value EXACTLY and
-        # the oracle can state the decoded mean
+        # JPEG (kernels/jpeg.py): flat quant table so the solid-gray
+        # DC-only block reconstructs the value EXACTLY and the oracle
+        # can state the decoded mean. Alternates baseline SOF0 /
+        # progressive SOF2 scan scripts (i%2), with the progressive
+        # half further split spectral-selection vs successive-
+        # approximation (i%4) — decoded values are identical by the
+        # codec's byte-identity contract (test_media.py).
         w, h, val = 8 + i % 9, 8 + i % 6, i % 256
-        return jpeg.make_jpeg(w, h, bytes([val]) * (w * h),
-                              quant=jpeg.QUANT_FLAT)
+        px = bytes([val]) * (w * h)
+        if i % 2:
+            return jpeg.make_progressive_jpeg(
+                w, h, px, quant=jpeg.QUANT_FLAT, successive=i % 4 == 3)
+        return jpeg.make_jpeg(w, h, px, quant=jpeg.QUANT_FLAT)
     if kind == "audio":
         n, val = 1000 + i % 500, 64 + i % 100
         return media.make_wav(bytes([val]) * n, rate=8000)

@@ -188,7 +188,7 @@ def test_jpeg_rejects_non_baseline():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
     sof = bytes(j).find(b"\xFF\xC0")
-    j[sof + 1] = 0xC2  # claim progressive
+    j[sof + 1] = 0xC9  # claim arithmetic-coded (SOF9) — unsupported
     with pytest.raises(ValueError):
         decode_jpeg(bytes(j))
 
@@ -243,6 +243,131 @@ def test_jpeg_mutation_fuzz_fails_closed_fast():
 
     def _alarm(sig, frm):
         raise AssertionError("decode_jpeg mutant hang")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(300)
+    try:
+        for _ in range(800):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_jpeg(bytes(b))
+            except ValueError:
+                pass
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+# ---------------------------------------------------------------------
+# Progressive JPEG (SOF2, T.81 Annex G)
+# ---------------------------------------------------------------------
+
+def test_progressive_matches_baseline_byte_exactly():
+    """Both encoders quantize identical blocks, and the progressive
+    reconstruction runs the same dequant+IDCT — so spectral-selection
+    AND successive-approximation scripts must decode byte-identically
+    to the baseline stream of the same source, for both quant tables
+    and non-multiple-of-8 sizes."""
+    import numpy as np
+
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, QUANT_K1, decode_jpeg, make_jpeg,
+        make_progressive_jpeg)
+    rng = np.random.RandomState(11)
+    for w, h, q in ((8, 8, QUANT_FLAT), (33, 17, QUANT_K1),
+                    (24, 40, QUANT_FLAT)):
+        src = rng.randint(0, 256, size=w * h).astype(np.uint8).tobytes()
+        ref = decode_jpeg(make_jpeg(w, h, src, quant=q))
+        for succ in (False, True):
+            d = decode_jpeg(make_progressive_jpeg(w, h, src, quant=q,
+                                                  successive=succ))
+            assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
+            assert d["pixels"] == ref["pixels"]
+
+
+def test_progressive_color_matches_baseline():
+    """3-component progressive: interleaved DC scan + per-component AC
+    scans; only the Y plane is surfaced (baseline contract)."""
+    import numpy as np
+
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, decode_jpeg, make_jpeg, make_progressive_jpeg)
+    rng = np.random.RandomState(3)
+    w, h = 19, 14
+    y = rng.randint(0, 256, size=w * h).astype(np.uint8).tobytes()
+    cb, cr = bytes([100]) * (w * h), bytes([200]) * (w * h)
+    ref = decode_jpeg(make_jpeg(w, h, y, quant=QUANT_FLAT, chroma=(cb, cr)))
+    for succ in (False, True):
+        d = decode_jpeg(make_progressive_jpeg(w, h, y, quant=QUANT_FLAT,
+                                              chroma=(cb, cr),
+                                              successive=succ))
+        assert d["n_components"] == 3
+        assert d["pixels"] == ref["pixels"]
+
+
+def test_progressive_solid_exact():
+    """The multimodal-oracle invariant extends to progressive streams:
+    a solid gray with the flat quant table reconstructs the exact value
+    (DC-only; the Al=1 + refinement script restores every DC bit)."""
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, decode_jpeg, make_progressive_jpeg)
+    for val in (0, 37, 128, 255):
+        for succ in (False, True):
+            d = decode_jpeg(make_progressive_jpeg(
+                13, 9, bytes([val]) * 117, quant=QUANT_FLAT,
+                successive=succ))
+            assert set(d["pixels"]) == {val}
+
+
+def test_progressive_truncated_entropy_decodes_partially():
+    """A progressive stream cut mid-scan drains with zero bits (the
+    media.py truncation convention): already-decoded scans keep their
+    coefficients, remaining blocks stay at the prior approximation."""
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, decode_jpeg, make_progressive_jpeg)
+    j = make_progressive_jpeg(32, 32, bytes([200]) * 1024,
+                              quant=QUANT_FLAT, successive=True)
+    # cut inside the LAST scan's entropy data (keep all scan headers
+    # before it intact)
+    last_sos = j.rfind(b"\xFF\xDA")
+    cut = last_sos + 7 + (len(j) - last_sos) // 2
+    d = decode_jpeg(j[:cut])
+    assert (d["width"], d["height"]) == (32, 32)
+    assert len(d["pixels"]) == 1024
+
+
+def test_progressive_rejects_malformed_scan_scripts():
+    """Scan-script validation per G.1: DC scan with Se!=0, AC scan
+    over multiple components, and Ss>Se all fail closed."""
+    import pytest
+
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, decode_jpeg, make_jpeg)
+    # flipping a baseline SOF0 to SOF2 makes its interleaved
+    # Ss=0/Se=63 scan an invalid progressive script
+    j = bytearray(make_jpeg(8, 8, bytes(64), quant=QUANT_FLAT))
+    j[j.find(b"\xFF\xC0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(j))
+
+
+def test_progressive_mutation_fuzz_fails_closed_fast():
+    """The baseline fuzz recipe over a successive-approximation
+    progressive base: every mutant decodes or raises ValueError."""
+    import random
+    import signal
+
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, decode_jpeg, make_progressive_jpeg)
+    rng = random.Random(13)
+    base = make_progressive_jpeg(
+        16, 12, bytes(rng.randrange(256) for _ in range(192)),
+        quant=QUANT_FLAT, successive=True)
+
+    def _alarm(sig, frm):
+        raise AssertionError("progressive decode_jpeg mutant hang")
 
     old = signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(300)
