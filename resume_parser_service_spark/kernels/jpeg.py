@@ -311,6 +311,21 @@ def _quant_matrix(qtab: list[int]) -> np.ndarray:
     return qmat.reshape(8, 8)
 
 
+def _emit_frame_headers(out: bytearray, sof_marker: bytes,
+                        qtab: list[int], width: int, height: int,
+                        ncomp: int, tables: list[tuple]) -> None:
+    """DQT + SOF + DHT segment framing shared by both encoders
+    (1x1 sampling, single 8-bit quant table id 0)."""
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+
 def make_jpeg(width: int, height: int, pixels: bytes,
               quant: list[int] | None = None,
               chroma: tuple[bytes, bytes] | None = None) -> bytes:
@@ -326,20 +341,12 @@ def make_jpeg(width: int, height: int, pixels: bytes,
         [_pad_plane(chroma[0], width, height),
          _pad_plane(chroma[1], width, height)] if chroma else [])
     out = bytearray(b"\xFF\xD8")  # SOI
-    # DQT (one table, id 0, 8-bit)
-    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(qtab)
-    # SOF0
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0)  # 1x1 sampling, qtab 0
-    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
-    # DHT: 4 tables (DC/AC x lum/chr); chroma tables only when used
+    # DC/AC x lum/chr tables; chroma tables only when used
     tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
     if chroma:
         tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
-    for tc, (bits, vals) in tables:
-        body = bytes([tc]) + bytes(bits) + bytes(vals)
-        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+    _emit_frame_headers(out, b"\xFF\xC0", qtab, width, height, ncomp,
+                        tables)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -393,6 +400,16 @@ def _enc_dc_refine(w: _BitWriter, blocks: list, ncomp: int,
                 w.write((blocks[ci][by][bx][0] >> al) & 1, 1)
 
 
+def _write_eobn(w: _BitWriter, ac: dict, eobrun: int) -> None:
+    """Emit the EOBn symbol + extension bits for a pending end-of-band
+    run (T.81 G.1.2.2: n = floor(log2(run)), run - 2^n in n bits)."""
+    n = eobrun.bit_length() - 1
+    code, ln = ac[n << 4]
+    w.write(code, ln)
+    if n:
+        w.write(eobrun - (1 << n), n)
+
+
 def _enc_ac_first(w: _BitWriter, blocks_flat: list, ac: dict,
                   al: int, ss: int = 1, se: int = 63) -> None:
     """Non-interleaved AC first scan with cross-block EOB runs
@@ -402,11 +419,7 @@ def _enc_ac_first(w: _BitWriter, blocks_flat: list, ac: dict,
     def flush() -> None:
         nonlocal eobrun
         if eobrun:
-            n = eobrun.bit_length() - 1
-            code, ln = ac[n << 4]
-            w.write(code, ln)
-            if n:
-                w.write(eobrun - (1 << n), n)
+            _write_eobn(w, ac, eobrun)
             eobrun = 0
 
     for coefs in blocks_flat:
@@ -456,11 +469,7 @@ def _enc_ac_refine(w: _BitWriter, blocks_flat: list, ac: dict,
     def flush_eob() -> None:
         nonlocal eobrun, pending
         if eobrun:
-            n = eobrun.bit_length() - 1
-            code, ln = ac[n << 4]
-            w.write(code, ln)
-            if n:
-                w.write(eobrun - (1 << n), n)
+            _write_eobn(w, ac, eobrun)
             eobrun = 0
         for b in pending:
             w.write(b, 1)
@@ -531,17 +540,11 @@ def make_progressive_jpeg(width: int, height: int, pixels: bytes,
               for ci in range(ncomp)]
 
     out = bytearray(b"\xFF\xD8")
-    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(qtab)
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
-    out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
     tables = [(0x00, _DC_LUM), (0x10, _AC_PROG)]
     if chroma:
         tables.append((0x01, _DC_CHR))
-    for tc, (bits, vals) in tables:
-        body = bytes([tc]) + bytes(bits) + bytes(vals)
-        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+    _emit_frame_headers(out, b"\xFF\xC2", qtab, width, height, ncomp,
+                        tables)
 
     dc_tabs = [_huff_codes(*_DC_LUM)] + [_huff_codes(*_DC_CHR)] * 2
     ac_tab = _huff_codes(*_AC_PROG)
@@ -638,6 +641,10 @@ def decode_jpeg(data: bytes) -> dict:
                 qtabs[tq] = q.reshape(8, 8)
                 b += 1 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 + progressive SOF2
+            if comps:
+                # one frame per image (T.81 B.2.1); a second SOF after
+                # _prog_alloc would desync the coefficient store
+                raise ValueError("multiple SOF segments")
             if len(body) < 6:
                 raise ValueError("truncated SOF")
             _, height, width, nc = struct.unpack(">BHHB", body[:6])
@@ -670,6 +677,8 @@ def decode_jpeg(data: bytes) -> dict:
             if not body:
                 raise ValueError("truncated SOS")
             ns = body[0]
+            if not 1 <= ns <= 4:  # B.2.3: 1 <= Ns <= 4
+                raise ValueError("invalid SOS component count")
             if len(body) < 1 + ns * 2:
                 raise ValueError("truncated SOS")
             if progressive and prog is None:
@@ -845,10 +854,14 @@ def _decode_prog_scan(data: bytes, start: int, scan_comps: list[dict],
     def dc_block(arr: np.ndarray, by: int, bx: int, si: int) -> None:
         if ah == 0:
             t = _decode_huff(r, htabs[scan_comps[si]["td"]])
-            if t > 15:
+            if t > 11:  # Table F.1: DC categories 0-11 for 8-bit
                 raise ValueError("invalid DC category")
             diff = _extend(r.bits(t), t) if t else 0
-            preds[si] += diff
+            # corrupt streams can walk the predictor arbitrarily far
+            # (valid 8-bit DC never exceeds ~2^10); clamp so the int32
+            # store assignment below never overflows (2^17 << 13 = 2^30)
+            preds[si] = max(-(1 << 17), min((1 << 17) - 1,
+                                            preds[si] + diff))
             arr[by, bx, 0] = preds[si] << al
         elif r.bit():
             arr[by, bx, 0] = int(arr[by, bx, 0]) | (1 << al)

@@ -353,6 +353,89 @@ def test_progressive_rejects_malformed_scan_scripts():
         decode_jpeg(bytes(j))
 
 
+def test_progressive_rejects_second_sof_and_empty_sos():
+    """r4 review: a duplicate SOF between scans (the coefficient store
+    is allocated once) and an Ns=0 SOS both fail closed with
+    ValueError, not KeyError/IndexError."""
+    import pytest
+
+    from resume_parser_service_spark.kernels.jpeg import (
+        QUANT_FLAT, decode_jpeg, make_progressive_jpeg)
+    base = make_progressive_jpeg(16, 16, bytes([77]) * 256,
+                                 quant=QUANT_FLAT, successive=True)
+    sof_at = base.find(b"\xFF\xC2")
+    (sof_len,) = struct.unpack(">H", base[sof_at + 2:sof_at + 4])
+    sof_seg = base[sof_at:sof_at + 2 + sof_len]
+    second_sos = base.find(b"\xFF\xDA", base.find(b"\xFF\xDA") + 2)
+    with pytest.raises(ValueError, match="multiple SOF"):
+        decode_jpeg(base[:second_sos] + sof_seg + base[second_sos:])
+
+    j = bytearray(base)
+    first_sos = j.index(b"\xFF\xDA")
+    j[first_sos + 4] = 0  # Ns = 0; next byte (old comp id) becomes Ss=...
+    j[first_sos + 5] = 0  # ...0, so the DC-branch guard must catch it
+    with pytest.raises(ValueError, match="SOS component count"):
+        decode_jpeg(bytes(j))
+
+
+def test_progressive_dc_predictor_walk_stays_bounded():
+    """r4 review: a corrupt DC scan at Al=13 feeding max-category
+    diffs every block walks the predictor far past any valid DC; the
+    clamp keeps the int32 store from overflowing and the stream from
+    crashing. Categories above 11 (invalid for 8-bit precision) fail
+    closed."""
+    import pytest
+
+    from resume_parser_service_spark.kernels.jpeg import (
+        _DC_LUM, _BitWriter, _huff_codes, _mag_cat, decode_jpeg)
+
+    def dc_only_stream(px_w: int, px_h: int, diffs: list[int],
+                       al: int) -> bytes:
+        out = bytearray(b"\xFF\xD8")
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        sof = struct.pack(">BHHB", 8, px_h, px_w, 1) + bytes([1, 0x11, 0])
+        out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof
+        body = bytes([0]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1])
+        out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+        sos = bytes([1, 1, 0x00, 0, 0, al])
+        out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+        w = _BitWriter()
+        tab = _huff_codes(*_DC_LUM)
+        for d in diffs:
+            t = _mag_cat(d)
+            code, ln = tab[t]
+            w.write(code, ln)
+            if t:
+                w.write(d if d >= 0 else d + (1 << t) - 1, t)
+        return bytes(out) + w.flush() + b"\xFF\xD9"
+
+    # 128x128 -> 256 blocks of +2047 = cumulative 524k; << 13 would
+    # pass 2^31 without the clamp
+    d = decode_jpeg(dc_only_stream(128, 128, [2047] * 256, al=13))
+    assert len(d["pixels"]) == 128 * 128
+    assert d["pixels"][-1] == 255  # huge positive DC clips white
+
+    # DC category 12 is invalid for 8-bit precision (Table F.1): a
+    # stream whose DHT defines symbol 12 must be rejected at decode
+    bits16 = [0] * 16
+    bits16[4] = 13  # 13 codes of length 5: symbols 0..12
+    tab13 = (bits16, list(range(13)))
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof
+    body = bytes([0]) + bytes(tab13[0]) + bytes(tab13[1])
+    out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+    out += b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0])
+    from resume_parser_service_spark.kernels.jpeg import _BitWriter as BW
+    w = BW()
+    code, ln = _huff_codes(*tab13)[12]
+    w.write(code, ln)
+    w.write((1 << 12) - 1, 12)
+    with pytest.raises(ValueError, match="DC category"):
+        decode_jpeg(bytes(out) + w.flush() + b"\xFF\xD9")
+
+
 def test_progressive_mutation_fuzz_fails_closed_fast():
     """The baseline fuzz recipe over a successive-approximation
     progressive base: every mutant decodes or raises ValueError."""
