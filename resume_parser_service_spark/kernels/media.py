@@ -3,10 +3,12 @@
 Replaces the r01 ``_decode_stub``: these are REAL container formats
 written and parsed byte-for-byte from their public specs (PNG: RFC
 2083; WAV: RIFF/WAVE; Y4M: YUV4MPEG2 as used by mjpegtools/ffmpeg) —
-no media libraries needed. Formats that require compressed-codec
-libraries (JPEG/MP3/H.264) stay out of scope in this container; their
-Spark-side plumbing is identical (opaque ``binary`` column + typed
-metadata out).
+no media libraries needed. Compressed codecs are covered by IMA-ADPCM
+audio (below), baseline+progressive JPEG (``kernels/jpeg.py``), and
+MJPEG-in-AVI video (below, per-frame JPEG). Formats that require
+heavyweight codec libraries (MP3/H.264) stay out of scope in this
+container; their Spark-side plumbing is identical (opaque ``binary``
+column + typed metadata out).
 
 Decoders do full real work: PNG defilters every scanline (all 5 filter
 types) after zlib-inflating IDAT; WAV walks RIFF chunks; Y4M parses the
@@ -23,7 +25,8 @@ import zlib
 
 __all__ = ["make_png", "decode_png", "make_wav", "decode_wav",
            "make_y4m", "decode_y4m", "resize_nearest",
-           "make_adpcm_wav", "decode_adpcm_wav"]
+           "make_adpcm_wav", "decode_adpcm_wav",
+           "make_mjpeg_avi", "decode_mjpeg_avi"]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -306,3 +309,114 @@ def decode_adpcm_wav(data: bytes) -> dict:
     return {"rate": rate, "n_samples": len(out),
             "duration_ms": round(1000 * len(out) / rate) if rate else 0,
             "samples": out}
+
+
+# --------------------------------------------------------------------------
+# MJPEG-in-AVI — compressed video. Public specs: Microsoft AVI RIFF
+# (MainAVIHeader / AVIStreamHeader / BITMAPINFOHEADER / movi / idx1)
+# with per-frame baseline JPEG payloads decoded by kernels/jpeg.py.
+# The compressed-video sibling of the JPEG/ADPCM codecs: full real
+# container + codec work, no libraries. H.264/MP3 stay out of scope.
+# --------------------------------------------------------------------------
+
+def _riff_chunk(fcc: bytes, payload: bytes) -> bytes:
+    return (fcc + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b""))
+
+
+def make_mjpeg_avi(width: int, height: int,
+                   lumas: list, rate: int = 15,
+                   quant: list | None = None) -> bytes:
+    """MJPEG AVI: one grayscale baseline-JPEG frame per entry. Each
+    entry is a constant luma value (int) or a full row-major luma
+    plane (bytes). Default flat quant table so constant frames decode
+    exactly (the multimodal-oracle invariant)."""
+    from .jpeg import QUANT_FLAT, make_jpeg
+    frames = []
+    for l in lumas:
+        plane = (bytes([l]) * (width * height) if isinstance(l, int)
+                 else bytes(l))
+        frames.append(make_jpeg(width, height, plane,
+                                quant=quant or QUANT_FLAT))
+    max_sz = max((len(f) for f in frames), default=0)
+    avih = struct.pack("<14I", 1_000_000 // rate, max_sz * rate, 0,
+                       0x10, len(frames), 0, 1, max_sz, width, height,
+                       0, 0, 0, 0)  # AVIF_HASINDEX
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<I2H8I", 0, 0, 0, 0, 1, rate, 0,
+                          len(frames), max_sz, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack("<I2i2H2I2i2I", 40, width, height, 1, 24,
+                       struct.unpack("<I", b"MJPG")[0],
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)
+                                     + _riff_chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # idx1 offsets point at the chunk fourcc, relative to 'movi'
+        idx += b"00dc" + struct.pack("<3I", 0x10, len(movi_body),
+                                     len(f))  # AVIIF_KEYFRAME
+        movi_body += _riff_chunk(b"00dc", f)
+    body = (b"AVI " + hdrl + _riff_chunk(b"LIST", movi_body)
+            + _riff_chunk(b"idx1", idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi(data: bytes, sample_every: int = 2) -> dict:
+    """Walk the RIFF/AVI tree (hdrl -> avih + strl, movi), decoding
+    every ``sample_every``-th '..dc' frame's JPEG payload — the same
+    frame-sampling contract as decode_y4m. Non-MJPG video streams
+    fail closed; a stream cut mid-movi keeps the frames decoded so
+    far (decode_jpeg itself drains truncated entropy data)."""
+    from .jpeg import decode_jpeg
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = None
+    n_frames = 0
+    sampled: list[float] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal width, height, n_frames
+        while pos + 8 <= end:
+            fcc = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fcc == b"LIST" and body_end - body_start >= 4:
+                ltype = data[body_start:body_start + 4]
+                walk(body_start + 4, body_end,
+                     in_movi or ltype == b"movi")
+            elif fcc == b"avih":
+                if body_end - body_start < 40:
+                    raise ValueError("truncated avih")
+                width, height = struct.unpack(
+                    "<2I", data[body_start + 32:body_start + 40])
+            elif fcc == b"strh":
+                if body_end - body_start >= 8 \
+                        and data[body_start:body_start + 4] == b"vids" \
+                        and data[body_start + 4:body_start + 8] not in \
+                        (b"MJPG", b"mjpg", b"dmb1"):
+                    raise ValueError("unsupported video codec")
+            elif in_movi and fcc[2:4] in (b"dc", b"db") \
+                    and fcc[:2].isdigit():
+                if n_frames % sample_every == 0:
+                    payload = data[body_start:body_end]
+                    if not payload:  # cut right after the chunk header
+                        break
+                    img = decode_jpeg(payload)
+                    px = img["pixels"]
+                    sampled.append(sum(px) / len(px))
+                n_frames += 1
+            pos = body_start + size + (size & 1)
+
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    walk(12, end, False)
+    if width is None:
+        raise ValueError("missing avih")
+    return {"width": width, "height": height, "n_frames": n_frames,
+            "frames_sampled": len(sampled),
+            "mean_sampled_luma": (sum(sampled) / len(sampled)
+                                  if sampled else None)}

@@ -211,7 +211,12 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
         # index 0), so the decoded mean is oracle-stateable
         n, val = 500 + i % 300, (i % 2000) - 1000
         return media.make_adpcm_wav([val] * n, rate=8000)
+    # video: alternates uncompressed Y4M / MJPEG-in-AVI (per-frame
+    # baseline JPEG) by i%2 — constant flat-quant frames decode
+    # exactly, so both halves satisfy the same value-exact oracle
     lumas = [i % 200] * (2 + i % 7)
+    if i % 2:
+        return media.make_mjpeg_avi(16, 8, lumas)
     return media.make_y4m(16, 8, lumas)
 
 
@@ -255,7 +260,10 @@ def _multimodal_kernel(batches: Iterator) -> Iterator:
                        "feature": round(sum(wav["samples"]) /
                                         len(wav["samples"]), 4)}
             else:
-                vid = media.decode_y4m(data, sample_every=2)
+                if data[:4] == b"RIFF":  # MJPEG-in-AVI half (i%2)
+                    vid = media.decode_mjpeg_avi(data, sample_every=2)
+                else:
+                    vid = media.decode_y4m(data, sample_every=2)
                 row = {"dim1": vid["width"], "dim2": vid["height"],
                        "frames_sampled": vid["frames_sampled"],
                        "feature": round(vid["mean_sampled_luma"], 4)}

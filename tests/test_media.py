@@ -518,3 +518,78 @@ def test_adpcm_rejects_pcm_and_garbage():
         decode_adpcm_wav(make_wav(bytes(100)))
     with pytest.raises(ValueError):
         decode_adpcm_wav(b"RIFFxxxxWAVEjunk")
+
+
+# ---------------------------------------------------------------------
+# MJPEG-in-AVI (compressed video: RIFF/AVI container + per-frame JPEG)
+# ---------------------------------------------------------------------
+
+def test_mjpeg_avi_roundtrip_matches_y4m_sampling_contract():
+    """Constant flat-quant frames decode exactly; n_frames /
+    frames_sampled / mean_sampled_luma agree with decode_y4m on the
+    same luma sequence (the multimodal-oracle invariant)."""
+    from resume_parser_service_spark.kernels.media import (
+        decode_mjpeg_avi, decode_y4m, make_mjpeg_avi, make_y4m)
+    lumas = [10, 20, 30, 40, 50]
+    d = decode_mjpeg_avi(make_mjpeg_avi(16, 8, lumas))
+    y = decode_y4m(make_y4m(16, 8, lumas))
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 8, 5)
+    for k in ("n_frames", "frames_sampled", "mean_sampled_luma"):
+        assert d[k] == y[k]
+    assert d["mean_sampled_luma"] == 30.0  # frames 0, 2, 4 exactly
+
+
+def test_mjpeg_avi_gradient_frames_and_container_fields():
+    """Full luma-plane frames go through the real JPEG encode/decode;
+    the avih header carries the true geometry."""
+    from resume_parser_service_spark.kernels.media import (
+        decode_mjpeg_avi, make_mjpeg_avi)
+    w, h = 24, 16
+    plane = bytes([(x * 13 + y * 7) % 256 for y in range(h)
+                   for x in range(w)])
+    d = decode_mjpeg_avi(make_mjpeg_avi(w, h, [plane, 0, plane]))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["frames_sampled"] == 2  # frames 0 and 2: both gradients
+    exp = sum(plane) / len(plane)
+    assert abs(d["mean_sampled_luma"] - exp) <= 1.0
+
+
+def test_mjpeg_avi_truncated_mid_frame_keeps_decoded_frames():
+    """A stream cut inside a sampled frame's entropy data still
+    returns (decode_jpeg drains truncated scans); a cut inside the
+    movi chunk header stops the walk cleanly."""
+    from resume_parser_service_spark.kernels.media import (
+        decode_mjpeg_avi, make_mjpeg_avi)
+    avi = make_mjpeg_avi(16, 8, [60, 70, 80, 90, 95])
+    # cut inside the LAST (sampled, index 4) frame's JPEG payload:
+    # decode_jpeg drains the truncated scan, so it still counts
+    # last movi frame chunk (idx1 entries also carry the '00dc' ckid)
+    last = avi.rfind(b"00dc", 0, avi.rfind(b"idx1"))
+    (fsize,) = struct.unpack("<I", avi[last + 4:last + 8])
+    # a cut in the frame's entropy data drains; a cut in its JPEG
+    # HEADER segments is indistinguishable from garbage and raises
+    d = decode_mjpeg_avi(avi[:last + 8 + fsize - 4])
+    assert d["n_frames"] == 5
+    assert d["frames_sampled"] == 3
+    # cut right after that chunk's fourcc+size (no payload at all):
+    # the sampled-frame walk stops before counting it
+    d2 = decode_mjpeg_avi(avi[:last + 8])
+    assert d2["n_frames"] == 4
+    assert d2["frames_sampled"] == 2
+    assert d2["width"] == 16
+
+
+def test_mjpeg_avi_rejects_garbage_and_foreign_codecs():
+    import pytest
+
+    from resume_parser_service_spark.kernels.media import (
+        decode_mjpeg_avi, make_mjpeg_avi, make_wav)
+    with pytest.raises(ValueError):
+        decode_mjpeg_avi(b"not an avi at all")
+    with pytest.raises(ValueError):  # a RIFF, but a WAV
+        decode_mjpeg_avi(make_wav(bytes(100)))
+    b = bytearray(make_mjpeg_avi(16, 8, [5]))
+    i = b.index(b"vidsMJPG")
+    b[i + 4:i + 8] = b"H264"
+    with pytest.raises(ValueError, match="unsupported video codec"):
+        decode_mjpeg_avi(bytes(b))
