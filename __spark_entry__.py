@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from resume_parser_service_spark.operators.catalog import (build_catalog,
                                                            register_views)
 from resume_parser_service_spark.operators.extract_queries import (
-    extract_oracles, extract_queries)
+    extension_oracles, extension_queries, extract_oracles, extract_queries)
 from resume_parser_service_spark.operators.udf_queries import (udf_oracles,
                                                                udf_queries)
 from resume_parser_service_spark.operators.cluster import (cluster_oracles,
@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(udf_queries())
     out.update(cluster_queries())
     out.update({name: fn for name, (fn, _oracle) in build_catalog().items()})
+    out.update(extension_queries())  # past the 50-window, by design
     return out
 
 
@@ -69,4 +70,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(cluster_oracles())
     out.update({name: oracle for name, (_fn, oracle)
                 in build_catalog().items() if oracle is not None})
+    out.update(extension_oracles())
     return out

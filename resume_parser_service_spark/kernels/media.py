@@ -4,8 +4,10 @@ Replaces the r01 ``_decode_stub``: these are REAL container formats
 written and parsed byte-for-byte from their public specs (PNG: RFC
 2083; WAV: RIFF/WAVE; Y4M: YUV4MPEG2 as used by mjpegtools/ffmpeg) —
 no media libraries needed. Compressed codecs are covered by IMA-ADPCM
-audio (below), baseline+progressive JPEG (``kernels/jpeg.py``), and
-MJPEG-in-AVI video (below, per-frame JPEG). Formats that require
+audio (below), baseline+progressive JPEG (``kernels/jpeg.py``),
+MJPEG-in-AVI video (below, per-frame JPEG), and LZW GIF (below) — the
+three common crawl image formats (PNG/JPEG/GIF) are all real decoders.
+Formats that require
 heavyweight codec libraries (MP3/H.264) stay out of scope in this
 container; their Spark-side plumbing is identical (opaque ``binary``
 column + typed metadata out).
@@ -26,7 +28,8 @@ import zlib
 __all__ = ["make_png", "decode_png", "make_wav", "decode_wav",
            "make_y4m", "decode_y4m", "resize_nearest",
            "make_adpcm_wav", "decode_adpcm_wav",
-           "make_mjpeg_avi", "decode_mjpeg_avi"]
+           "make_mjpeg_avi", "decode_mjpeg_avi",
+           "make_gif", "decode_gif"]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -420,3 +423,234 @@ def decode_mjpeg_avi(data: bytes, sample_every: int = 2) -> dict:
             "frames_sampled": len(sampled),
             "mean_sampled_luma": (sum(sampled) / len(sampled)
                                   if sampled else None)}
+
+
+# --------------------------------------------------------------------------
+# GIF — LZW-compressed image, the third common crawl image format next
+# to PNG and JPEG. Public spec: GIF89a (CompuServe, 1990-07-31): logical
+# screen descriptor, 256-entry color table, variable-width LZW with
+# clear/EOI codes and 12-bit dictionary cap, optional 4-pass interlace.
+# Real dictionary-based LZW on both sides — no libraries.
+# --------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    return [r for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, height, step)]
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: codes start at min_code_size+1 bits, LSB-first
+    packing, dictionary grows to 4096 then emits a clear code and
+    resets (the spec's deferred-clear is optional; we always clear)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([c])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int
+                    ) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = pos = 0
+    prev: int | None = None
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) < n_pixels:
+        raise ValueError("truncated GIF image data")
+    return bytes(out[:n_pixels])
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    return b"".join(bytes([len(payload[i:i + 255])]) + payload[i:i + 255]
+                    for i in range(0, len(payload), 255)) + b"\x00"
+
+
+def make_gif(width: int, height: int, pixels: bytes,
+             interlace: bool = False, local_table: bool = False) -> bytes:
+    """8-bit grayscale GIF89a (256-entry gray-ramp palette, so pixel
+    bytes are palette indices verbatim). ``interlace`` writes the
+    4-pass row order; ``local_table`` moves the palette from the
+    logical screen to the image descriptor (both spec placements)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer size mismatch")
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    lsd_packed = 0xF7 if not local_table else 0x77  # GCT flag | 8-bit
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, lsd_packed, 0, 0)
+    if not local_table:
+        out += palette
+    id_packed = (0x40 if interlace else 0) | (0x87 if local_table else 0)
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, id_packed)
+    if local_table:
+        out += palette
+    rows = (pixels if not interlace else
+            b"".join(pixels[r * width:(r + 1) * width]
+                     for r in _gif_interlace_order(height)))
+    out += b"\x08" + _gif_subblocks(_gif_lzw_encode(rows, 8)) + b"\x3B"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> dict:
+    """Parse the logical screen + color tables, LZW-decode the first
+    image (deinterlacing if flagged), map indices through the palette
+    (gray = rounded RGB mean), and count the remaining image
+    descriptors. Truncated or corrupt streams fail closed."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = data[pos:pos + 3 * n]
+        if len(global_pal) < 3 * n:
+            raise ValueError("truncated GIF color table")
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = data[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    first: dict | None = None
+    n_frames = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            pos = skip_subblocks(pos + 1)
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            _l, _t, w, h, ipk = struct.unpack("<HHHHB", data[pos:pos + 9])
+            pos += 9
+            pal = global_pal
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                pal = data[pos:pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("truncated GIF color table")
+                pos += 3 * n
+            if pos >= len(data):
+                raise ValueError("truncated GIF image data")
+            mcs = data[pos]
+            pos += 1
+            start = pos
+            pos = skip_subblocks(pos)
+            n_frames += 1
+            if first is None:
+                if pal is None:
+                    raise ValueError("GIF image has no color table")
+                if not 2 <= mcs <= 8:
+                    raise ValueError("bad GIF LZW code size")
+                lzw = bytearray()
+                p = start
+                while data[p]:
+                    lzw += data[p + 1:p + 1 + data[p]]
+                    p += 1 + data[p]
+                idx = _gif_lzw_decode(bytes(lzw), mcs, w * h)
+                n_colors = len(pal) // 3
+                if idx and max(idx) >= n_colors:
+                    raise ValueError("GIF index out of palette range")
+                lut = bytes(
+                    round((pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2])
+                          / 3) for i in range(n_colors))
+                gray = idx.translate(lut + bytes(256 - n_colors))
+                if ipk & 0x40:
+                    rows = bytearray(w * h)
+                    for src, dst in enumerate(_gif_interlace_order(h)):
+                        rows[dst * w:(dst + 1) * w] = \
+                            gray[src * w:(src + 1) * w]
+                    gray = bytes(rows)
+                first = {"width": w, "height": h, "pixels": gray}
+        else:
+            raise ValueError("bad GIF block introducer")
+    if first is None:
+        raise ValueError("GIF has no image")
+    return {**first, "n_frames": n_frames}

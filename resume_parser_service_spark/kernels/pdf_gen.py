@@ -185,7 +185,8 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
              compress: bool = True, xref_stream: bool = False,
              objstm: bool = False, tounicode: bool = True,
              differences: dict[int, str] | None = None,
-             content_filter: str | list[str] | None = None) -> bytes:
+             content_filter: str | list[str] | None = None,
+             images: list[list[dict]] | None = None) -> bytes:
     """Build a deterministic multi-page PDF carrying ``pages`` texts.
 
     ``links`` become ``/URI`` link annotations on page 1 (order kept),
@@ -206,19 +207,35 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
     stream filter name or chain in decode order (e.g. "LZWDecode" or
     ["ASCII85Decode", "FlateDecode"]) — exercises the kernel's
     non-Flate filter paths (spec 7.4).
+
+    ``images`` embeds image XObjects: one list of specs per page, each
+    ``{"kind": "jpeg", "data": jpeg_bytes, "width": w, "height": h}``
+    (stored verbatim under /Filter /DCTDecode — spec 7.4.8) or
+    ``{"kind": "gray", "width": w, "height": h, "pixels": bytes}``
+    (8-bit /DeviceGray, FlateDecode). Each image is named /Im{k} in the
+    page's /XObject resources and placed with a ``cm``+``Do`` pair
+    after the text block, so extracted TEXT is byte-unchanged.
     """
     if not pages:
         raise ValueError("need at least one page")
     links = links or []
+    images = images or []
     objs: dict[int, bytes] = {}  # obj number -> body (without "N 0 obj"/"endobj")
 
     n_pages = len(pages)
     # Object numbering: 1=Catalog, 2=Pages, 3=Font, 4=ToUnicode stream,
-    # then per page i: (5+2i)=Page, (6+2i)=Content; links appended after.
+    # then per page i: (5+2i)=Page, (6+2i)=Content; links appended
+    # after, then image XObjects in (page, slot) order.
     page_obj = [5 + 2 * i for i in range(n_pages)]
     content_obj = [6 + 2 * i for i in range(n_pages)]
     next_obj = 5 + 2 * n_pages
     annot_objs = list(range(next_obj, next_obj + len(links)))
+    img_objs: list[list[int]] = []
+    cursor = next_obj + len(links)
+    for i in range(n_pages):
+        specs = images[i] if i < len(images) else []
+        img_objs.append(list(range(cursor, cursor + len(specs))))
+        cursor += len(specs)
 
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = b" ".join(b"%d 0 R" % p for p in page_obj)
@@ -247,11 +264,21 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
         if i == 0 and annot_objs:
             annots = (b" /Annots [" +
                       b" ".join(b"%d 0 R" % a for a in annot_objs) + b"]")
+        xobj_res = b""
+        if img_objs[i]:
+            xobj_res = (b" /XObject << " +
+                        b" ".join(b"/Im%d %d 0 R" % (k, num)
+                                  for k, num in enumerate(img_objs[i])) +
+                        b" >>")
         objs[page_obj[i]] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
-            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Resources << /Font << /F1 3 0 R >>" + xobj_res + b" >>"
             b" /Contents %d 0 R" % content_obj[i] + annots + b" >>")
         raw = _content_stream(pages[i])
+        for k, spec in enumerate(images[i] if i < len(images) else []):
+            raw += (b"\nq %d 0 0 %d 72 %d cm /Im%d Do Q"
+                    % (2 * spec["width"], 2 * spec["height"],
+                       360 - 40 * k, k))
         if content_filter is not None:
             # /Filter lists names in DECODE order (spec 7.3.8.2), so the
             # encoders run in reverse.
@@ -282,6 +309,25 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
             b" /Border [0 0 0]"
             b" /A << /Type /Action /S /URI /URI (" % (y1, y1 + 14) +
             _esc_pdf_string(uri) + b") >> >>")
+
+    for i in range(n_pages):
+        for num, spec in zip(img_objs[i], images[i] if i < len(images)
+                             else []):
+            if spec["kind"] == "jpeg":
+                payload, filt = spec["data"], b"/DCTDecode"
+            elif spec["kind"] == "gray":
+                if len(spec["pixels"]) != spec["width"] * spec["height"]:
+                    raise ValueError("gray image pixel buffer mismatch")
+                payload, filt = zlib.compress(spec["pixels"], 9), \
+                    b"/FlateDecode"
+            else:
+                raise ValueError(f"unknown image kind {spec['kind']!r}")
+            objs[num] = (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                b" /Filter %s /Length %d >>\nstream\n"
+                % (spec["width"], spec["height"], filt, len(payload))
+                + payload + b"\nendstream")
 
     if xref_stream:
         return _serialize_modern(objs, objstm)

@@ -185,9 +185,17 @@ def _make_payload(doc_id: int, kind: str) -> bytes:
     i = int(doc_id)
     if kind == "image":
         # content moduli coprime to the mod-5 kind cycle, so heights
-        # and values still VARY within each kind (r4 review)
+        # and values still VARY within each kind (r4 review).
+        # Alternates PNG / LZW GIF by i%2 (the video arm's Y4M/MJPEG
+        # pattern); the GIF half further alternates interlaced and
+        # local-color-table placements (i%4) — the gray-ramp palette
+        # makes decoded values identical, so one oracle covers all.
         w, h, val = 8 + i % 9, 8 + i % 6, i % 256
-        return media.make_png(w, h, bytes([val]) * (w * h))
+        px = bytes([val]) * (w * h)
+        if i % 2:
+            return media.make_gif(w, h, px, interlace=i % 4 == 1,
+                                  local_table=i % 4 == 3)
+        return media.make_png(w, h, px)
     if kind == "jpeg":
         # JPEG (kernels/jpeg.py): flat quant table so the solid-gray
         # DC-only block reconstructs the value EXACTLY and the oracle
@@ -240,6 +248,8 @@ def _multimodal_kernel(batches: Iterator) -> Iterator:
                 if kind == "jpeg":
                     from ..kernels.jpeg import decode_jpeg
                     img = decode_jpeg(data)
+                elif data[:4] == b"GIF8":  # LZW GIF half (i%2)
+                    img = media.decode_gif(data)
                 else:
                     img = media.decode_png(data)
                 thumb = media.resize_nearest(img["pixels"], img["width"],
@@ -406,6 +416,76 @@ SELECT doc_id,
        cast(5 as int) AS n_sections
 FROM documents ORDER BY doc_id
 """
+
+
+def _pdf_image_kernel(batches: Iterator) -> Iterator:
+    """Per-doc synthetic 2-page PDF with embedded image XObjects
+    (page 0: solid flat-quant JPEG under /DCTDecode, page 1: solid
+    FlateDecode /DeviceGray), scanned back by
+    ``kernels/pdf_text.pdf_image_metadata`` — real container write,
+    real JPEG/Flate decode, oracle-stateable solid means."""
+    import pandas as pd
+
+    from ..kernels import jpeg
+    from ..kernels.pdf_gen import make_pdf
+    from ..kernels.pdf_text import pdf_image_metadata
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            w1, h1, v1 = 8 + i % 9, 8 + i % 6, i % 256
+            w2, h2, v2 = 4 + i % 7, 4 + i % 5, (3 * i) % 256
+            data = make_pdf(
+                ["first page text", "second page text"],
+                images=[[{"kind": "jpeg", "width": w1, "height": h1,
+                          "data": jpeg.make_jpeg(
+                              w1, h1, bytes([v1]) * (w1 * h1),
+                              quant=jpeg.QUANT_FLAT)}],
+                        [{"kind": "gray", "width": w2, "height": h2,
+                          "pixels": bytes([v2]) * (w2 * h2)}]])
+            for r in pdf_image_metadata(data):
+                rows.append({"doc_id": i, "page": r["page"],
+                             "fmt": r["filter"], "width": r["width"],
+                             "height": r["height"],
+                             "mean_value": r["mean_value"]})
+        yield pd.DataFrame(rows, columns=["doc_id", "page", "fmt",
+                                          "width", "height",
+                                          "mean_value"])
+
+
+def _q_pdf_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id").mapInPandas(
+        _pdf_image_kernel,
+        schema="doc_id long, page long, fmt string, width long, "
+               "height long, mean_value double").orderBy("doc_id", "page")
+
+
+_PDF_IMAGE_ORACLE = """
+SELECT doc_id, cast(0 as bigint) AS page, 'DCTDecode' AS fmt,
+       cast(8 + doc_id % 9 as bigint) AS width,
+       cast(8 + doc_id % 6 as bigint) AS height,
+       cast(doc_id % 256 as double) AS mean_value
+FROM documents
+UNION ALL
+SELECT doc_id, cast(1 as bigint) AS page, 'FlateDecode' AS fmt,
+       cast(4 + doc_id % 7 as bigint) AS width,
+       cast(4 + doc_id % 5 as bigint) AS height,
+       cast((3 * doc_id) % 256 as double) AS mean_value
+FROM documents
+ORDER BY doc_id, page
+"""
+
+
+def extension_queries() -> dict:
+    """Queries registered AFTER the driver-checked window (the catalog
+    keeps the first 50 keys stable across rounds; these are verified by
+    tools/check_oracle.py and pytest instead)."""
+    return {"pdf_image_metadata": _q_pdf_image_metadata}
+
+
+def extension_oracles() -> dict:
+    return {"pdf_image_metadata": _PDF_IMAGE_ORACLE}
 
 
 def extract_queries() -> dict:

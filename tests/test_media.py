@@ -593,3 +593,96 @@ def test_mjpeg_avi_rejects_garbage_and_foreign_codecs():
     b[i + 4:i + 8] = b"H264"
     with pytest.raises(ValueError, match="unsupported video codec"):
         decode_mjpeg_avi(bytes(b))
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_gradient_all_variants():
+    """Exact round trip through real LZW for every palette placement ×
+    interlace combination, over pixels covering all 256 byte values."""
+    from resume_parser_service_spark.kernels.media import (decode_gif,
+                                                           make_gif)
+
+    w, h = 32, 16
+    pixels = bytes((x * 29 + y * 7) % 256 for y in range(h)
+                   for x in range(w))
+    for interlace in (False, True):
+        for local_table in (False, True):
+            data = make_gif(w, h, pixels, interlace=interlace,
+                            local_table=local_table)
+            assert data[:6] == b"GIF89a"
+            img = decode_gif(data)
+            assert (img["width"], img["height"]) == (w, h)
+            assert img["n_frames"] == 1
+            assert img["pixels"] == pixels, (interlace, local_table)
+
+
+def test_gif_lzw_actually_compresses_and_resets_dictionary():
+    from resume_parser_service_spark.kernels.media import (decode_gif,
+                                                           make_gif)
+
+    solid = bytes([7]) * (64 * 64)
+    data = make_gif(64, 64, solid)
+    assert len(data) < len(solid) // 3  # real compression, not literals
+    assert decode_gif(data)["pixels"] == solid
+    # >4096 distinct phrases forces a mid-stream clear-code reset
+    import random
+    rnd = random.Random(1234)
+    noisy = bytes(rnd.randrange(256) for _ in range(120 * 120))
+    assert decode_gif(make_gif(120, 120, noisy))["pixels"] == noisy
+
+
+def test_gif_interlace_reorders_rows_on_the_wire():
+    """The interlaced stream must differ from the sequential one (rows
+    really are written in 8/8/4/2 pass order) while decoding equal."""
+    from resume_parser_service_spark.kernels.media import (decode_gif,
+                                                           make_gif)
+
+    w, h = 8, 8
+    pixels = bytes(range(w * h))
+    plain = make_gif(w, h, pixels)
+    inter = make_gif(w, h, pixels, interlace=True)
+    assert plain != inter
+    assert decode_gif(plain)["pixels"] == decode_gif(inter)["pixels"]
+
+
+def test_gif_multi_frame_counts_and_decodes_first():
+    """An animated GIF (second image block appended before the trailer,
+    plus a graphic-control extension) decodes frame 1 and reports
+    n_frames=2; GIF87a headers are accepted too."""
+    from resume_parser_service_spark.kernels.media import (decode_gif,
+                                                           make_gif)
+
+    w, h = 6, 4
+    f1 = bytes([50]) * (w * h)
+    f2 = bytes([200]) * (w * h)
+    a = make_gif(w, h, f1)
+    b = make_gif(w, h, f2, local_table=True)
+    # splice: a minus trailer + GCE + b's image block (from 0x2C) + trailer
+    gce = b"\x21\xF9\x04\x00\x0A\x00\x00\x00"
+    data = a[:-1] + gce + b[b.index(b"\x2C", 13):]
+    img = decode_gif(data)
+    assert img["n_frames"] == 2
+    assert img["pixels"] == f1
+    img87 = decode_gif(b"GIF87a" + a[6:])
+    assert img87["pixels"] == f1
+
+
+def test_gif_fails_closed_on_truncation_and_garbage():
+    from resume_parser_service_spark.kernels.media import (decode_gif,
+                                                           make_gif)
+
+    data = make_gif(16, 16, bytes(range(256)))
+    for cut in (3, 10, 12, len(data) // 2, len(data) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(data[:cut])
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + bytes(30))
+    # out-of-range palette index: 2-entry local table but 8-bit indices
+    small_pal = bytearray(make_gif(4, 4, bytes([3]) * 16, local_table=True))
+    i = small_pal.index(b"\x2C", 13)
+    small_pal[i + 9] = 0x80  # local table flag, size 0 -> 2 entries
+    del small_pal[i + 10 + 6:i + 10 + 768]  # shrink palette to 2 entries
+    with pytest.raises(ValueError, match="palette"):
+        decode_gif(bytes(small_pal))

@@ -303,3 +303,63 @@ def test_self_invoking_xobject_bounded():
     })
     r = extract_pdf(pdf)
     assert r["n_pages"] == 1  # terminates; nothing to extract
+
+
+# ------------------------------------------------- image XObjects
+
+
+def test_pdf_image_metadata_jpeg_and_gray():
+    """Embedded DCTDecode JPEG and FlateDecode gray XObjects surface
+    declared + decoded metadata; text extraction is byte-unchanged by
+    the added images."""
+    from resume_parser_service_spark.kernels import jpeg
+    from resume_parser_service_spark.kernels.pdf_text import \
+        pdf_image_metadata
+
+    pages = ["alpha\nbeta", "gamma"]
+    jp = jpeg.make_jpeg(12, 9, bytes([77]) * 108, quant=jpeg.QUANT_FLAT)
+    imgs = [[{"kind": "jpeg", "data": jp, "width": 12, "height": 9}],
+            [{"kind": "gray", "width": 5, "height": 4,
+              "pixels": bytes(range(20))}]]
+    pdf = make_pdf(pages, images=imgs)
+    assert extract_pdf(pdf)["text"] == "\n\n".join(pages)
+    rows = pdf_image_metadata(pdf)
+    assert [(r["page"], r["filter"]) for r in rows] == \
+        [(0, "DCTDecode"), (1, "FlateDecode")]
+    assert rows[0]["decoded_width"] == 12 and rows[0]["mean_value"] == 77.0
+    assert rows[0]["n_components"] == 1
+    assert rows[1]["mean_value"] == 9.5
+    assert pdf_image_metadata(make_pdf(["no images"])) == []
+
+
+def test_pdf_image_metadata_modern_layout_and_two_per_page():
+    """XRef-stream + ObjStm serialization resolves image XObjects too;
+    two images on one page come back in /Im name order."""
+    from resume_parser_service_spark.kernels.pdf_text import \
+        pdf_image_metadata
+
+    imgs = [[{"kind": "gray", "width": 3, "height": 3,
+              "pixels": bytes([10] * 9)},
+             {"kind": "gray", "width": 2, "height": 2,
+              "pixels": bytes([200] * 4)}]]
+    classic = pdf_image_metadata(make_pdf(["t"], images=imgs))
+    modern = pdf_image_metadata(
+        make_pdf(["t"], images=imgs, xref_stream=True, objstm=True))
+    assert classic == modern
+    assert [r["name"] for r in classic] == ["Im0", "Im1"]
+    assert [r["mean_value"] for r in classic] == [10.0, 200.0]
+
+
+def test_pdf_image_metadata_fails_open_on_bad_payload():
+    """A corrupt DCTDecode payload keeps the declared dict metadata
+    with null decode fields instead of sinking the scan."""
+    from resume_parser_service_spark.kernels.pdf_text import \
+        pdf_image_metadata
+
+    imgs = [[{"kind": "jpeg", "data": b"\xff\xd8garbage", "width": 7,
+              "height": 5}]]
+    rows = pdf_image_metadata(make_pdf(["t"], images=imgs))
+    assert len(rows) == 1
+    assert rows[0]["width"] == 7 and rows[0]["filter"] == "DCTDecode"
+    assert rows[0]["decoded_width"] is None
+    assert rows[0]["mean_value"] is None
