@@ -596,10 +596,12 @@ def decode_gif(data: bytes) -> dict:
 
     first: dict | None = None
     n_frames = 0
+    saw_trailer = False
     while pos < len(data):
         b = data[pos]
         pos += 1
         if b == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b == 0x21:  # extension: label + sub-blocks
             if pos >= len(data):
@@ -651,6 +653,8 @@ def decode_gif(data: bytes) -> dict:
                 first = {"width": w, "height": h, "pixels": gray}
         else:
             raise ValueError("bad GIF block introducer")
+    if not saw_trailer:
+        raise ValueError("truncated GIF (missing trailer)")
     if first is None:
         raise ValueError("GIF has no image")
     return {**first, "n_frames": n_frames}

@@ -220,6 +220,18 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
         raise ValueError("need at least one page")
     links = links or []
     images = images or []
+    if len(images) > len(pages):
+        raise ValueError("more image-spec lists than pages")
+    for specs in images:
+        for spec in specs:
+            if spec.get("kind") not in ("jpeg", "gray"):
+                raise ValueError(f"unknown image kind {spec.get('kind')!r}")
+            needed = ("data", "width", "height") if spec["kind"] == "jpeg" \
+                else ("pixels", "width", "height")
+            missing = [k for k in needed if k not in spec]
+            if missing:
+                raise ValueError(
+                    f"{spec['kind']} image spec missing {missing}")
     objs: dict[int, bytes] = {}  # obj number -> body (without "N 0 obj"/"endobj")
 
     n_pages = len(pages)

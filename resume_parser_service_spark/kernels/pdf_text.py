@@ -463,15 +463,20 @@ class _Document:
             seen += 1
         return obj
 
-    def stream_data(self, stream: _Stream) -> bytes | None:
-        """Decode a stream; returns None if an unsupported filter is hit."""
+    def filter_list(self, stream: _Stream) -> list:
+        """/Filter normalized to a resolved list (single name, array,
+        or absent — spec 7.3.8.2). Shared by stream_data and
+        pdf_image_metadata so name handling cannot drift."""
         filters = self.resolve(stream.dict.get("Filter"))
         if filters is None:
-            flist = []
-        elif isinstance(filters, list):
-            flist = [self.resolve(f) for f in filters]
-        else:
-            flist = [filters]
+            return []
+        if isinstance(filters, list):
+            return [self.resolve(f) for f in filters]
+        return [filters]
+
+    def stream_data(self, stream: _Stream) -> bytes | None:
+        """Decode a stream; returns None if an unsupported filter is hit."""
+        flist = self.filter_list(stream)
         data = stream.raw
 
         def parms_for(i: int) -> dict:
@@ -1450,7 +1455,13 @@ def pdf_image_metadata(data: bytes) -> list[dict]:
         xobjs = doc.resolve(res.get("XObject")) or {}
         if not isinstance(xobjs, dict):
             continue
-        for name in sorted(xobjs):
+        def slot_key(n):
+            # natural order: /Im2 before /Im10 (plain sort breaks at
+            # 10+ images per page)
+            m = re.match(r"^(.*?)(\d+)$", str(n))
+            return (m.group(1), int(m.group(2))) if m else (str(n), -1)
+
+        for name in sorted(xobjs, key=slot_key):
             xo = doc.resolve(xobjs[name])
             if not isinstance(xo, _Stream) or \
                     doc.resolve(xo.dict.get("Subtype")) != "Image":
@@ -1463,13 +1474,7 @@ def pdf_image_metadata(data: bytes) -> list[dict]:
             except (TypeError, ValueError):
                 width = height = bits = 0
             cs = doc.resolve(d.get("ColorSpace"))
-            filters = doc.resolve(d.get("Filter"))
-            if isinstance(filters, list):
-                flist = [str(doc.resolve(f)) for f in filters]
-            elif filters is not None:
-                flist = [str(filters)]
-            else:
-                flist = []
+            flist = [str(f) for f in doc.filter_list(xo)]
             row = {"page": pno, "name": str(name), "width": width,
                    "height": height, "bits": bits,
                    "color_space": str(cs) if cs is not None else None,
@@ -1495,7 +1500,7 @@ def pdf_image_metadata(data: bytes) -> list[dict]:
                             decoded_width=width, decoded_height=height,
                             n_components=1,
                             mean_value=round(sum(px) / len(px), 4))
-            except (ValueError, PdfError):
+            except ValueError:  # incl. PdfError (its subclass)
                 pass  # fail-open: declared metadata survives
             out.append(row)
     return out

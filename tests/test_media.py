@@ -674,7 +674,9 @@ def test_gif_fails_closed_on_truncation_and_garbage():
                                                            make_gif)
 
     data = make_gif(16, 16, bytes(range(256)))
-    for cut in (3, 10, 12, len(data) // 2, len(data) - 2):
+    # len-1 loses only the 0x3B trailer — still a truncation, still
+    # fail-closed (review finding)
+    for cut in (3, 10, 12, len(data) // 2, len(data) - 2, len(data) - 1):
         with pytest.raises(ValueError):
             decode_gif(data[:cut])
     with pytest.raises(ValueError):

@@ -350,6 +350,35 @@ def test_pdf_image_metadata_modern_layout_and_two_per_page():
     assert [r["mean_value"] for r in classic] == [10.0, 200.0]
 
 
+def test_pdf_image_metadata_natural_slot_order_past_ten():
+    """11 images on one page come back Im0..Im10 in numeric order, not
+    lexicographic (Im0, Im1, Im10, Im2, ...)."""
+    from resume_parser_service_spark.kernels.pdf_text import \
+        pdf_image_metadata
+
+    imgs = [[{"kind": "gray", "width": 2, "height": 2,
+              "pixels": bytes([k * 20] * 4)} for k in range(11)]]
+    rows = pdf_image_metadata(make_pdf(["t"], images=imgs))
+    assert [r["name"] for r in rows] == ["Im%d" % k for k in range(11)]
+    assert [r["mean_value"] for r in rows] == [k * 20.0 for k in range(11)]
+
+
+def test_make_pdf_rejects_malformed_image_specs():
+    """Silent drops and bare KeyErrors are validation errors instead
+    (review findings): extra per-page spec lists, unknown kinds, and
+    missing required keys all raise up front."""
+    gray = {"kind": "gray", "width": 2, "height": 2, "pixels": bytes(4)}
+    with pytest.raises(ValueError, match="more image-spec lists"):
+        make_pdf(["one page"], images=[[], [gray]])
+    with pytest.raises(ValueError, match="unknown image kind"):
+        make_pdf(["t"], images=[[{"kind": "webp"}]])
+    with pytest.raises(ValueError, match="missing"):
+        make_pdf(["t"], images=[[{"kind": "jpeg", "data": b"x"}]])
+    with pytest.raises(ValueError, match="missing"):
+        make_pdf(["t"], images=[[{"kind": "gray", "width": 2,
+                                  "height": 2}]])
+
+
 def test_pdf_image_metadata_fails_open_on_bad_payload():
     """A corrupt DCTDecode payload keeps the declared dict metadata
     with null decode fields instead of sinking the scan."""
