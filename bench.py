@@ -31,6 +31,7 @@ HEADLINE_QUERIES = [
     "band_signatures",
     "token_count", "quality_score", "lang_id_heuristic",
     "extract_html_identity", "extract_pdf_identity",
+    "rasterize_pages",  # r4 addition (A3) — see BENCH/BASELINE.md note
 ]
 
 

@@ -1075,8 +1075,13 @@ _LBRACK = _Bracket("[")
 _RBRACK = _Bracket("]")
 
 
-def _page_runs(doc: _Document, page: dict) -> list[tuple[float, float, float, str]]:
-    """Extract positioned text runs (x, y, font_size, text) from one page."""
+def _page_runs(doc: _Document, page: dict,
+               image_sink: list | None = None
+               ) -> list[tuple[float, float, float, str]]:
+    """Extract positioned text runs (x, y, font_size, text) from one
+    page. When ``image_sink`` is a list, every painted image XObject is
+    appended to it as ``(name, ctm_at_Do, stream)`` in paint order —
+    the placement record the rasterizer composites from."""
     contents = doc.resolve(page.get("Contents"))
     chunks: list[bytes] = []
     if isinstance(contents, list):
@@ -1094,11 +1099,13 @@ def _page_runs(doc: _Document, page: dict) -> list[tuple[float, float, float, st
     if not content:
         return []
     res = doc.resolve(page.get("Resources")) or {}
-    return _run_content(doc, content, res, _ID, 0)
+    return _run_content(doc, content, res, _ID, 0, image_sink=image_sink)
 
 
 def _run_content(doc: _Document, content: bytes, res: dict,
-                 base_ctm: tuple, depth: int) -> list[tuple[float, float, float, str]]:
+                 base_ctm: tuple, depth: int,
+                 image_sink: list | None = None
+                 ) -> list[tuple[float, float, float, str]]:
     font_res = doc.resolve(res.get("Font")) or {}
     xobj_res = doc.resolve(res.get("XObject")) or {}
     fonts: dict[str, _Font] = {}
@@ -1270,8 +1277,9 @@ def _run_content(doc: _Document, content: bytes, res: dict,
             elif op == b"Do" and stack and depth < 8:
                 xo = doc.resolve(xobj_res.get(str(stack[-1]))) \
                     if isinstance(xobj_res, dict) else None
-                if isinstance(xo, _Stream) and \
-                        doc.resolve(xo.dict.get("Subtype")) == "Form":
+                subtype = doc.resolve(xo.dict.get("Subtype")) \
+                    if isinstance(xo, _Stream) else None
+                if subtype == "Form":
                     inner = doc.stream_data(xo)
                     if inner:
                         ires = doc.resolve(xo.dict.get("Resources")) or res
@@ -1280,7 +1288,10 @@ def _run_content(doc: _Document, content: bytes, res: dict,
                         if isinstance(mtx, list) and len(mtx) == 6:
                             ictm = _mat_mul(tuple(float(v) for v in mtx), ctm)
                         runs.extend(_run_content(doc, inner, ires, ictm,
-                                                 depth + 1))
+                                                 depth + 1,
+                                                 image_sink=image_sink))
+                elif subtype == "Image" and image_sink is not None:
+                    image_sink.append((str(stack[-1]), ctm, xo))
         except (TypeError, ValueError, IndexError):
             pass
         if op not in (b"TJ",):
@@ -1431,6 +1442,38 @@ def extract_pdf(data: bytes) -> dict:
             "n_pages": len(pages)}
 
 
+def decode_image_xobject(doc: _Document, xo: _Stream) -> dict | None:
+    """Decode an image XObject to a grayscale plane: /DCTDecode through
+    ``kernels/jpeg.decode_jpeg`` (Y plane), 8-bit /DeviceGray through
+    the normal stream filters. Returns ``{"width", "height",
+    "n_components", "pixels"}`` (pixels row-major gray) or None for
+    unsupported encodings. Raises ValueError on corrupt payloads — the
+    callers decide fail-open vs fail-closed."""
+    d = xo.dict
+    flist = [str(f) for f in doc.filter_list(xo)]
+    if flist == ["DCTDecode"]:
+        from .jpeg import decode_jpeg
+        img = decode_jpeg(xo.raw)
+        if img["pixels"]:
+            return {"width": img["width"], "height": img["height"],
+                    "n_components": img["n_components"],
+                    "pixels": img["pixels"]}
+        return None
+    try:
+        width = int(doc.resolve(d.get("Width")) or 0)
+        height = int(doc.resolve(d.get("Height")) or 0)
+        bits = int(doc.resolve(d.get("BitsPerComponent")) or 0)
+    except (TypeError, ValueError):
+        return None
+    cs = doc.resolve(d.get("ColorSpace"))
+    if bits == 8 and cs == "DeviceGray":
+        px = doc.stream_data(xo)
+        if px is not None and len(px) >= width * height > 0:
+            return {"width": width, "height": height, "n_components": 1,
+                    "pixels": px[:width * height]}
+    return None
+
+
 def pdf_image_metadata(data: bytes) -> list[dict]:
     """Enumerate image XObjects (spec 8.9.5) page by page: declared
     dict metadata (width/height/bits/colorspace/last filter) plus a
@@ -1482,24 +1525,14 @@ def pdf_image_metadata(data: bytes) -> list[dict]:
                    "decoded_width": None, "decoded_height": None,
                    "n_components": None, "mean_value": None}
             try:
-                if flist == ["DCTDecode"]:
-                    from .jpeg import decode_jpeg
-                    img = decode_jpeg(xo.raw)
+                img = decode_image_xobject(doc, xo)
+                if img is not None:
                     px = img["pixels"]
-                    if px:
-                        row.update(
-                            decoded_width=img["width"],
-                            decoded_height=img["height"],
-                            n_components=img["n_components"],
-                            mean_value=round(sum(px) / len(px), 4))
-                elif bits == 8 and cs == "DeviceGray":
-                    px = doc.stream_data(xo)
-                    if px is not None and len(px) >= width * height > 0:
-                        px = px[:width * height]
-                        row.update(
-                            decoded_width=width, decoded_height=height,
-                            n_components=1,
-                            mean_value=round(sum(px) / len(px), 4))
+                    row.update(
+                        decoded_width=img["width"],
+                        decoded_height=img["height"],
+                        n_components=img["n_components"],
+                        mean_value=round(sum(px) / len(px), 4))
             except ValueError:  # incl. PdfError (its subclass)
                 pass  # fail-open: declared metadata survives
             out.append(row)

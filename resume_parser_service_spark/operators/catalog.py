@@ -567,14 +567,6 @@ FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 ORDER BY lang NULLS FIRST, source NULLS FIRST""")
 
-    c["cube_event_counts"] = _sql("""
-SELECT event_type,
-       cast(cast(date_trunc('day', ts) as date) as string) AS day,
-       count(*) AS n_events
-FROM events
-GROUP BY CUBE (event_type, cast(cast(date_trunc('day', ts) as date) as string))
-ORDER BY event_type NULLS FIRST, day NULLS FIRST""")
-
     # --- string functions incl. regexp (A7' mapper building blocks) ---
     c["string_funcs"] = _sql("""
 SELECT doc_id,
@@ -844,8 +836,19 @@ ORDER BY doc_id"""
     # ---------------------------------------------------------------
     # Past the driver's first-50 window (r4 rotation): still part of
     # the public catalog and pytest-parity-checked, but their driver
-    # slots went to quantize_int8 / unigram_logprob / repeated_spans.
+    # slots went to quantize_int8 / unigram_logprob / repeated_spans;
+    # cube_event_counts' slot went to rasterize_pages (A3) — the
+    # grouping-sets machinery it exercises stays driver-covered by
+    # rollup_metrics (GROUPING SETS superset).
     # ---------------------------------------------------------------
+    c["cube_event_counts"] = _sql("""
+SELECT event_type,
+       cast(cast(date_trunc('day', ts) as date) as string) AS day,
+       count(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, cast(cast(date_trunc('day', ts) as date) as string))
+ORDER BY event_type NULLS FIRST, day NULLS FIRST""")
+
     c["distinct_langs"] = _sql("""
 SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""")
 

@@ -477,6 +477,77 @@ ORDER BY doc_id, page
 """
 
 
+def _raster_kernel(batches: Iterator) -> Iterator:
+    """A3 rasterize (SURVEY.md §2): wrap each document's text at 64
+    chars/line, write a real PDF, parse it back, and stamp the parsed
+    text runs onto a grayscale canvas with the built-in 5x7 font
+    (kernels/raster.py). Every emitted stat is measured from the
+    rendered output — canvas dims from the run bounding box, ink
+    counted from the bitmap — while staying a pure function of the
+    text, so the DuckDB oracle can state all of them exactly."""
+    import pandas as pd
+
+    from ..kernels.pdf_gen import make_pdf
+    from ..kernels.raster import rasterize_pdf
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            wrapped = "\n".join(text[i:i + 64]
+                                for i in range(0, len(text), 64))
+            for page in rasterize_pdf(make_pdf([wrapped])):
+                rows.append({"doc_id": doc_id, "page": page["page"],
+                             "width": page["width"],
+                             "height": page["height"],
+                             "n_glyphs": page["n_glyphs"],
+                             "ink_pixels": page["ink_pixels"]})
+        yield pd.DataFrame(rows, columns=["doc_id", "page", "width",
+                                          "height", "n_glyphs",
+                                          "ink_pixels"])
+
+
+def _q_rasterize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id", "text").mapInPandas(
+        _raster_kernel,
+        schema="doc_id long, page long, width long, height long, "
+               "n_glyphs long, ink_pixels long").orderBy("doc_id", "page")
+
+
+def _raster_oracle() -> str:
+    """Generated from the SAME font table the renderer stamps: per-char
+    ink popcounts as a VALUES list. The check therefore validates the
+    rendering pipeline — run parsing, grid stamping, crop bounds,
+    bitmap ink counting — not the font art (which is its own spec)."""
+    from ..kernels.raster import FONT
+    rows = ", ".join(
+        "(%d, %d)" % (ord(ch), sum(r.count("#") for r in rows))
+        for ch, rows in sorted(FONT.items()))
+    return f"""
+WITH ink_table(code, ink) AS (VALUES {rows}),
+chars AS (
+  SELECT doc_id, unicode(c) AS code
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents)),
+per AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN c.code < 33 OR c.code IN (127, 160)
+                  THEN 0 ELSE 1 END) AS n_glyphs,
+         sum(CASE WHEN c.code < 33 OR c.code IN (127, 160) THEN 0
+                  ELSE coalesce(i.ink, 20) END) AS ink_pixels
+  FROM chars c LEFT JOIN ink_table i ON c.code = i.code
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       cast(0 as bigint) AS page,
+       cast(4 + 6 * least(64, length(d.text)) as bigint) AS width,
+       cast(4 + 7 + 14 * (cast(ceil(length(d.text) / 64.0) as bigint) - 1)
+            as bigint) AS height,
+       cast(coalesce(p.n_glyphs, 0) as bigint) AS n_glyphs,
+       cast(coalesce(p.ink_pixels, 0) as bigint) AS ink_pixels
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def extension_queries() -> dict:
     """Queries registered AFTER the driver-checked window (the catalog
     keeps the first 50 keys stable across rounds; these are verified by
@@ -495,6 +566,7 @@ def extract_queries() -> dict:
         "embed_checksum": _q_embed_checksum,
         "multimodal_metadata": _q_multimodal_metadata,
         "resume_map_sections": _q_resume_map_sections,
+        "rasterize_pages": _q_rasterize_pages,
     }
 
 
@@ -505,4 +577,5 @@ def extract_oracles() -> dict:
         "multimodal_metadata": _MULTIMODAL_ORACLE,
         "embed_checksum": _EMBED_ORACLE,
         "resume_map_sections": _RESUME_MAP_ORACLE,
+        "rasterize_pages": _raster_oracle(),
     }
