@@ -650,6 +650,12 @@ def decode_jpeg(data: bytes) -> dict:
             _, height, width, nc = struct.unpack(">BHHB", body[:6])
             if len(body) < 6 + nc * 3:
                 raise ValueError("truncated SOF")
+            if width == 0 or height == 0:
+                # T.81 allows Y=0 only when a DNL marker later supplies
+                # the height (B.2.2) — unsupported here; X=0 is illegal.
+                # Without this, a zero-pixel frame "decodes" and every
+                # mean-luma consumer divides by zero.
+                raise ValueError("zero-dimension SOF frame")
             progressive = marker == 0xC2
             comps = []
             for ci in range(nc):

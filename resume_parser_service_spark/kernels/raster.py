@@ -35,8 +35,8 @@ from __future__ import annotations
 from .media import make_png
 from .pdf_text import _Document, _page_runs, decode_image_xobject
 
-__all__ = ["rasterize_pdf", "render_runs", "glyph_ink", "glyph_rows",
-           "GLYPH_W", "GLYPH_H", "ADV", "FONT"]
+__all__ = ["rasterize_pdf", "rasterize_to_base64", "render_runs",
+           "glyph_ink", "glyph_rows", "GLYPH_W", "GLYPH_H", "ADV", "FONT"]
 
 GLYPH_W = 5
 GLYPH_H = 7
@@ -152,6 +152,34 @@ def _is_blank(code: int) -> bool:
     return code < 33 or code == 127 or code == 160
 
 
+_ATLAS = None   # (257, GLYPH_H, ADV) bool; index 256 = fallback box
+_BLANK_LUT = None  # (257,) bool
+
+
+def _atlas():
+    """Lazy numpy glyph atlas: one boolean (7, 6) cell per Latin-1
+    code (glyph left-aligned, 1-px gap column), slot 256 = the
+    fallback box every codepoint >255 clips to. Lets a whole run
+    stamp as one gather + reshape instead of per-pixel Python."""
+    global _ATLAS, _BLANK_LUT
+    if _ATLAS is None:
+        import numpy as np
+        atlas = np.zeros((257, GLYPH_H, ADV), dtype=bool)
+        blank = np.zeros(257, dtype=bool)
+        box = np.array([[c == "#" for c in row] for row in _BOX])
+        for code in range(257):
+            if code <= 255 and _is_blank(code):
+                blank[code] = True
+                continue
+            rows = FONT.get(chr(code)) if code <= 255 else None
+            cell = (np.array([[c == "#" for c in r] for r in rows])
+                    if rows is not None else box)
+            atlas[code, :, :GLYPH_W] = cell
+        _ATLAS = atlas
+        _BLANK_LUT = blank
+    return _ATLAS, _BLANK_LUT
+
+
 def glyph_rows(ch: str) -> tuple[str, ...] | None:
     """The 5x7 rows a char stamps, or None for an ink-less advance."""
     if _is_blank(ord(ch)):
@@ -207,9 +235,14 @@ def render_runs(runs: list[tuple], pad: int = 2,
         ytops.append(y1)
     min_x, max_x = min(xs0), max(xs1)
     top_y, bot_y = max(ytops), min(ybots)
-    width = 2 * pad + round(max_x - min_x)
-    height = 2 * pad + round(top_y - bot_y)
-    canvas = bytearray([255]) * (width * height)
+    width = max(1, 2 * pad + round(max_x - min_x))
+    height = max(1, 2 * pad + round(top_y - bot_y))
+    # fail-closed allocation cap: a hostile CTM (translate-by-1e9) or
+    # absurd run coordinates would otherwise size the canvas in GBs
+    if width * height > (1 << 26):  # 64M px ≈ 26k x 26k pt page
+        raise ValueError("page raster exceeds the 64M-pixel cap")
+    import numpy as np
+    canvas = np.full((height, width), 255, dtype=np.uint8)
 
     for ctm, img in images:
         a, b, c, d, e, f = ctm
@@ -217,48 +250,57 @@ def render_runs(runs: list[tuple], pad: int = 2,
         if abs(det) < 1e-9 or not img["pixels"]:
             continue
         iw, ih = img["width"], img["height"]
-        px = img["pixels"]
         x0, x1, y0, y1 = _image_bbox(ctm)
         col0 = max(0, pad + round(x0 - min_x))
         col1 = min(width - 1, pad + round(x1 - min_x))
         row0 = max(0, pad + round(top_y - y1))
         row1 = min(height - 1, pad + round(top_y - y0))
-        for row in range(row0, row1 + 1):
-            # sample at pixel CENTERS so the rect edges don't fall on
-            # the u/v = 0/1 boundary (top row of an image at the canvas
-            # edge would otherwise miss at exactly v = 1.0)
-            dy = top_y - (row - pad) - 0.5
-            base = row * width
-            for col in range(col0, col1 + 1):
-                dx = min_x + (col - pad) + 0.5
-                # inverse CTM: device point -> image unit square (u, v)
-                u = (d * (dx - e) - c * (dy - f)) / det
-                v = (-b * (dx - e) + a * (dy - f)) / det
-                if 0.0 <= u < 1.0 and 0.0 <= v < 1.0:
-                    sx = min(iw - 1, int(u * iw))
-                    sy = min(ih - 1, int((1.0 - v) * ih))
-                    val = px[sy * iw + sx]
-                    if val < canvas[base + col]:
-                        canvas[base + col] = val
+        if col1 < col0 or row1 < row0:
+            continue
+        # sample at pixel CENTERS so the rect edges don't fall on the
+        # u/v = 0/1 boundary (top row of an image at the canvas edge
+        # would otherwise miss at exactly v = 1.0)
+        dx = min_x + (np.arange(col0, col1 + 1) - pad) + 0.5
+        dy = top_y - (np.arange(row0, row1 + 1) - pad) - 0.5
+        gx, gy = np.meshgrid(dx, dy)
+        # inverse CTM: device point -> image unit square (u, v)
+        u = (d * (gx - e) - c * (gy - f)) / det
+        v = (-b * (gx - e) + a * (gy - f)) / det
+        inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+        sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+        sy = np.clip(((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
+        plane = np.frombuffer(img["pixels"], dtype=np.uint8,
+                              count=iw * ih).reshape(ih, iw)
+        vals = np.where(inside, plane[sy, sx], 255).astype(np.uint8)
+        region = canvas[row0:row1 + 1, col0:col1 + 1]
+        np.minimum(region, vals, out=region)
 
+    atlas, blank = _atlas()
     n_glyphs = 0
     for r in runs:
         x0 = pad + round(r[0] - min_x)
         row0 = pad + round(top_y - r[1])
-        for j, ch in enumerate(r[3]):
-            rows = glyph_rows(ch)
-            if rows is None:
-                continue
-            n_glyphs += 1
-            cx = x0 + j * ADV
-            for dy, bits in enumerate(rows):
-                base = (row0 + dy) * width + cx
-                for dx in range(GLYPH_W):
-                    if bits[dx] == "#":
-                        canvas[base + dx] = 0
-    return {"width": width, "height": height, "pixels": bytes(canvas),
+        codes = np.fromiter((min(ord(ch), 256) for ch in r[3]),
+                            dtype=np.int32, count=len(r[3]))
+        n_glyphs += int((~blank[codes]).sum())
+        # one gather: (L, 7, 6) cells -> a (7, 6L) ink strip
+        strip = atlas[codes].transpose(1, 0, 2).reshape(
+            GLYPH_H, len(codes) * ADV)
+        canvas[row0:row0 + GLYPH_H, x0:x0 + len(codes) * ADV][strip] = 0
+    return {"width": width, "height": height,
+            "pixels": canvas.tobytes(),
             "n_glyphs": n_glyphs, "n_images": len(images),
-            "ink_pixels": canvas.count(0)}
+            "ink_pixels": int((canvas == 0).sum())}
+
+
+def rasterize_to_base64(data: bytes, pad: int = 2) -> list[str]:
+    """API-surface twin of the reference's
+    ``_process_file_to_images_base64(path, fmt) -> List[str]``
+    (/root/reference/app/services/resume_parser.py:82-114): one base64
+    string per page, here always PNG (the reference's default fmt)."""
+    import base64
+    return [base64.b64encode(p["png"]).decode("ascii")
+            for p in rasterize_pdf(data, pad=pad)]
 
 
 def rasterize_pdf(data: bytes, pad: int = 2) -> list[dict]:
@@ -271,8 +313,9 @@ def rasterize_pdf(data: bytes, pad: int = 2) -> list[dict]:
     images are skipped fail-open, like ``pdf_image_metadata``. Returns
     one dict per page: ``{"page", "width", "height", "n_glyphs",
     "n_images", "ink_pixels", "png"}`` (png = real PNG bytes of the
-    rendered canvas). Raises ``PdfError`` on structural failure — the
-    caller decides fail-open vs fail-closed, like ``extract_pdf``.
+    rendered canvas). Raises ``PdfError`` on structural failure and
+    ``ValueError`` past the 64M-pixel canvas cap — the caller decides
+    fail-open vs fail-closed, like ``extract_pdf``.
     """
     doc = _Document(data)
     out = []

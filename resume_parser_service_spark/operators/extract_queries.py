@@ -65,6 +65,19 @@ def _pdf_roundtrip_kernel(batches: Iterator) -> Iterator:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "extracted": outs})
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition before a CPU-bound Python kernel.
+
+    The small-SF ``documents`` parquet is one file under
+    ``maxPartitionBytes``, so without this the whole mapInPandas stage
+    runs on ONE core (measured: rasterize_pages 48.9 s serial vs the
+    sub-10 s spread shape at sf0.1). Same reason the extraction
+    pipeline salts before its kernel (pipeline/extract.py); at 100 TB
+    the scan has thousands of natural splits and this one extra
+    exchange of (doc_id, text) rows is noise next to the kernel CPU."""
+    return df.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
 def _q_extract_html_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     wrapped = spark.sql(f"""
@@ -72,17 +85,19 @@ def _q_extract_html_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(concat('{_HTML_TMPL_PRE}', text, '{_HTML_TMPL_POST}')
                     as binary) AS html
         FROM documents""")
-    return wrapped.mapInPandas(_html_extract_kernel,
-                               schema="doc_id long, extracted string") \
-                  .orderBy("doc_id")
+    return _spread(spark, wrapped) \
+        .mapInPandas(_html_extract_kernel,
+                     schema="doc_id long, extracted string") \
+        .orderBy("doc_id")
 
 
 def _q_extract_pdf_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    return docs.mapInPandas(_pdf_roundtrip_kernel,
-                            schema="doc_id long, extracted string") \
-               .orderBy("doc_id")
+    return _spread(spark, docs) \
+        .mapInPandas(_pdf_roundtrip_kernel,
+                     schema="doc_id long, extracted string") \
+        .orderBy("doc_id")
 
 
 _IDENTITY_ORACLE = ("SELECT doc_id, text AS extracted FROM documents "
@@ -135,7 +150,7 @@ def _embed_kernel(batches: Iterator) -> Iterator:
 
 def _q_embed_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id", "text") \
+    return _spread(spark, spark.table("documents").select("doc_id", "text")) \
         .mapInPandas(_embed_kernel,
                      schema="doc_id long, embed_checksum double, "
                             "bucket_weighted long") \
@@ -285,13 +300,13 @@ def _multimodal_kernel(batches: Iterator) -> Iterator:
 
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    payloads = spark.table("documents").select(
+    payloads = _spread(spark, spark.table("documents").select(
         "doc_id",
         F.expr("CASE WHEN doc_id % 5 = 0 THEN 'image' "
                "WHEN doc_id % 5 = 1 THEN 'audio' "
                "WHEN doc_id % 5 = 2 THEN 'video' "
                "WHEN doc_id % 5 = 3 THEN 'jpeg' "
-               "ELSE 'adpcm' END").alias("media_type")
+               "ELSE 'adpcm' END").alias("media_type"))
     ).mapInPandas(_payload_builder,
                   schema="doc_id long, media_type string, payload binary")
     return payloads.mapInPandas(
@@ -394,7 +409,7 @@ def _q_resume_map_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id arithmetic (the real-PDF fidelity goldens live in
     tests/test_resume_map.py vs the reference's own cv_output)."""
     register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id") \
+    return _spread(spark, spark.table("documents").select("doc_id")) \
         .mapInPandas(_resume_kernel,
                      schema="doc_id long, email string, "
                             "phone_prefix string, phone string, "
@@ -455,7 +470,7 @@ def _pdf_image_kernel(batches: Iterator) -> Iterator:
 
 def _q_pdf_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id").mapInPandas(
+    return _spread(spark, spark.table("documents").select("doc_id")).mapInPandas(
         _pdf_image_kernel,
         schema="doc_id long, page long, fmt string, width long, "
                "height long, mean_value double").orderBy("doc_id", "page")
@@ -507,7 +522,8 @@ def _raster_kernel(batches: Iterator) -> Iterator:
 
 def _q_rasterize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id", "text").mapInPandas(
+    docs = spark.table("documents").select("doc_id", "text")
+    return _spread(spark, docs).mapInPandas(
         _raster_kernel,
         schema="doc_id long, page long, width long, height long, "
                "n_glyphs long, ink_pixels long").orderBy("doc_id", "page")

@@ -688,3 +688,60 @@ def test_gif_fails_closed_on_truncation_and_garbage():
     del small_pal[i + 10 + 6:i + 10 + 768]  # shrink palette to 2 entries
     with pytest.raises(ValueError, match="palette"):
         decode_gif(bytes(small_pal))
+
+
+def test_media_decoders_mutation_fuzz_fail_closed():
+    """The JPEG fuzz recipe over EVERY media decoder: seeded byte
+    mutants either decode or raise ValueError — no zlib.error leaking
+    from PNG IDAT, no KeyError from a mangled Y4M header, no negative
+    frame stride walking the Y4M cursor backwards (all three found by
+    this fuzzer), and no hang (SIGALRM guard, not wall-clock)."""
+    import random
+    import signal
+
+    from resume_parser_service_spark.kernels import media
+
+    rng = random.Random(1)
+    px = bytes(rng.randrange(256) for _ in range(16 * 12))
+    targets = [
+        ("png", media.make_png(16, 12, px), media.decode_png),
+        ("gif", media.make_gif(16, 12, px), media.decode_gif),
+        ("gif_interlace",
+         media.make_gif(16, 12, px, interlace=True, local_table=True),
+         media.decode_gif),
+        ("wav", media.make_wav(bytes(rng.randrange(256)
+                                     for _ in range(800))),
+         media.decode_wav),
+        ("adpcm", media.make_adpcm_wav(
+            [rng.randrange(-2000, 2000) for _ in range(600)]),
+         media.decode_adpcm_wav),
+        ("y4m", media.make_y4m(16, 8, [10, 20, 30, 40, 50]),
+         media.decode_y4m),
+        ("avi", media.make_mjpeg_avi(16, 8, [10, 20, 30, 40, 50]),
+         media.decode_mjpeg_avi),
+    ]
+
+    def _alarm(sig, frm):
+        raise AssertionError("media decoder mutant hang")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(300)
+    try:
+        for name, base, decode in targets:
+            # zlib.crc32, not hash(): the builtin is salted per process,
+            # which made the mutant set non-reproducible across runs
+            mrng = random.Random(zlib.crc32(name.encode()) & 0xFFFF)
+            for _ in range(400):
+                b = bytearray(base)
+                for _ in range(mrng.randrange(1, 6)):
+                    b[mrng.randrange(len(b))] = mrng.randrange(256)
+                try:
+                    decode(bytes(b))
+                except ValueError:
+                    pass
+                except Exception as e:  # pragma: no cover
+                    raise AssertionError(
+                        f"{name} mutant leaked {type(e).__name__}: {e}")
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

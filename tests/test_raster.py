@@ -87,6 +87,31 @@ def test_empty_page_minimal_blank_canvas():
     assert set(img["pixels"]) == {255}
 
 
+def test_hostile_ctm_canvas_cap():
+    """A translate-by-1e6 image placement would crop-bound a
+    gigabyte canvas; the 64M-pixel cap fails closed instead."""
+    from resume_parser_service_spark.kernels.raster import render_runs
+    img = {"width": 1, "height": 1, "n_components": 1, "pixels": b"\x00"}
+    with pytest.raises(ValueError, match="64M-pixel"):
+        render_runs([(72.0, 700.0, 11.0, "x", 6.0)],
+                    images=[((1.0, 0.0, 0.0, 1.0, 1e6, -1e6), img)])
+
+
+def test_rasterize_to_base64_reference_api_shape():
+    """One base64-PNG string per page (reference
+    _process_file_to_images_base64 contract)."""
+    import base64
+
+    from resume_parser_service_spark.kernels.raster import \
+        rasterize_to_base64
+    out = rasterize_to_base64(make_pdf(["page one", "page two"]))
+    assert len(out) == 2
+    for s in out:
+        png = base64.b64decode(s)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        decode_png(png)  # must be a valid, decodable PNG
+
+
 def test_garbage_raises():
     from resume_parser_service_spark.kernels.pdf_text import PdfError
     with pytest.raises(PdfError):
