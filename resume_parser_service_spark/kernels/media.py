@@ -390,8 +390,11 @@ def decode_mjpeg_avi(data: bytes, sample_every: int = 2) -> dict:
     """Walk the RIFF/AVI tree (hdrl -> avih + strl, movi), decoding
     every ``sample_every``-th '..dc' frame's JPEG payload — the same
     frame-sampling contract as decode_y4m. Non-MJPG video streams
-    fail closed; a stream cut mid-movi keeps the frames decoded so
-    far (decode_jpeg itself drains truncated entropy data)."""
+    fail closed. A stream cut inside a frame's entropy data is
+    drained by decode_jpeg, keeping the frames decoded so far; a cut
+    (or corruption) inside a frame's marker segments fails closed
+    with ValueError — a half-parsed frame HEADER has no trustworthy
+    partial stats, unlike half-parsed entropy data."""
     from .jpeg import decode_jpeg
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")

@@ -327,13 +327,11 @@ def make_pdf(pages: list[str], links: list[str] | None = None,
                              else []):
             if spec["kind"] == "jpeg":
                 payload, filt = spec["data"], b"/DCTDecode"
-            elif spec["kind"] == "gray":
+            else:  # "gray" — every other kind was rejected upfront
                 if len(spec["pixels"]) != spec["width"] * spec["height"]:
                     raise ValueError("gray image pixel buffer mismatch")
                 payload, filt = zlib.compress(spec["pixels"], 9), \
                     b"/FlateDecode"
-            else:
-                raise ValueError(f"unknown image kind {spec['kind']!r}")
             objs[num] = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
                 b" /ColorSpace /DeviceGray /BitsPerComponent 8"

@@ -303,7 +303,7 @@ def rasterize_to_base64(data: bytes, pad: int = 2) -> list[str]:
             for p in rasterize_pdf(data, pad=pad)]
 
 
-def rasterize_pdf(data: bytes, pad: int = 2) -> list[dict]:
+def rasterize_pdf(data: bytes, pad: int = 2, png: bool = True) -> list[dict]:
     """Rasterize every page of a PDF to a grayscale PNG + ink stats.
 
     Text runs are stamped with the 5x7 font; painted image XObjects
@@ -313,9 +313,11 @@ def rasterize_pdf(data: bytes, pad: int = 2) -> list[dict]:
     images are skipped fail-open, like ``pdf_image_metadata``. Returns
     one dict per page: ``{"page", "width", "height", "n_glyphs",
     "n_images", "ink_pixels", "png"}`` (png = real PNG bytes of the
-    rendered canvas). Raises ``PdfError`` on structural failure and
-    ``ValueError`` past the 64M-pixel canvas cap — the caller decides
-    fail-open vs fail-closed, like ``extract_pdf``.
+    rendered canvas, or None with ``png=False`` — stats-only callers
+    like the rasterize_pages kernel skip the zlib encode entirely).
+    Raises ``PdfError`` on structural failure and ``ValueError`` past
+    the 64M-pixel canvas cap — the caller decides fail-open vs
+    fail-closed, like ``extract_pdf``.
     """
     doc = _Document(data)
     out = []
@@ -335,5 +337,6 @@ def rasterize_pdf(data: bytes, pad: int = 2) -> list[dict]:
                     "height": r["height"], "n_glyphs": r["n_glyphs"],
                     "n_images": r["n_images"],
                     "ink_pixels": r["ink_pixels"],
-                    "png": make_png(r["width"], r["height"], r["pixels"])})
+                    "png": (make_png(r["width"], r["height"], r["pixels"])
+                            if png else None)})
     return out

@@ -509,7 +509,7 @@ def _raster_kernel(batches: Iterator) -> Iterator:
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             wrapped = "\n".join(text[i:i + 64]
                                 for i in range(0, len(text), 64))
-            for page in rasterize_pdf(make_pdf([wrapped])):
+            for page in rasterize_pdf(make_pdf([wrapped]), png=False):
                 rows.append({"doc_id": doc_id, "page": page["page"],
                              "width": page["width"],
                              "height": page["height"],
@@ -522,7 +522,15 @@ def _raster_kernel(batches: Iterator) -> Iterator:
 
 def _q_rasterize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id", "text")
+    # Project text onto the oracle's stated domain — printable ASCII,
+    # nonempty — IN THE QUERY, mirrored in the oracle SQL, so kernel
+    # and oracle stay in lockstep on any corpus (embedded newlines,
+    # tabs, or empty docs would otherwise diverge: the PDF round-trip
+    # drops control chars the oracle's length() formulas would count).
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.regexp_replace("text", "[^ -~]", "").alias("text"),
+    ).filter(F.length("text") > 0)
     return _spread(spark, docs).mapInPandas(
         _raster_kernel,
         schema="doc_id long, page long, width long, height long, "
@@ -540,10 +548,15 @@ def _raster_oracle() -> str:
         for ch, rows in sorted(FONT.items()))
     return f"""
 WITH ink_table(code, ink) AS (VALUES {rows}),
+docs AS (
+  SELECT doc_id, t AS text
+  FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+        FROM documents)
+  WHERE length(t) > 0),
 chars AS (
   SELECT doc_id, unicode(c) AS code
   FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-        FROM documents)),
+        FROM docs)),
 per AS (
   SELECT c.doc_id,
          sum(CASE WHEN c.code < 33 OR c.code IN (127, 160)
@@ -559,7 +572,7 @@ SELECT d.doc_id,
             as bigint) AS height,
        cast(coalesce(p.n_glyphs, 0) as bigint) AS n_glyphs,
        cast(coalesce(p.ink_pixels, 0) as bigint) AS ink_pixels
-FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+FROM docs d LEFT JOIN per p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
 

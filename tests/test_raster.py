@@ -186,3 +186,42 @@ def test_property_stats_match_per_char_arithmetic(text):
     assert page["height"] == 4 + GLYPH_H + 14 * (n_lines - 1)
     assert page["n_glyphs"] == sum(1 for c in text if c != " ")
     assert page["ink_pixels"] == sum(glyph_ink(c) for c in text)
+
+
+def test_rasterize_pages_oracle_parity_on_hostile_corpus(spark, tmp_path):
+    """Kernel and oracle agree OUTSIDE the polite-corpus domain: empty
+    text, tabs, embedded newlines, non-ASCII, and all-control docs.
+    Both sides project text onto printable ASCII and drop
+    empty-after-projection docs — a corpus-generator change must not
+    silently split them (found by review: the oracle's length()
+    formulas used raw text while the PDF round-trip drops controls)."""
+    import duckdb
+    import pandas as pd
+
+    from resume_parser_service_spark.operators.extract_queries import (
+        _q_rasterize_pages, _raster_oracle)
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["",                          # empty -> dropped
+                 "tab\there",                 # control char stripped
+                 "line one\nline two",        # newline stripped
+                 "café ümläut",  # non-ASCII stripped
+                 "\t\n\x07",                  # all-control -> dropped
+                 "x" * 150],                  # wraps to 3 lines
+    })
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = _q_rasterize_pages(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    odf = con.execute(_raster_oracle()).df()
+
+    assert sorted(sdf["doc_id"]) == [1, 2, 3, 5]  # 0 and 4 dropped
+    sdf = sdf.sort_values("doc_id").reset_index(drop=True)
+    odf = odf.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        sdf[sorted(sdf.columns)].astype("int64"),
+        odf[sorted(odf.columns)].astype("int64"))
