@@ -7,10 +7,12 @@ no media libraries needed. Compressed codecs are covered by IMA-ADPCM
 audio (below), baseline+progressive JPEG (``kernels/jpeg.py``),
 MJPEG-in-AVI video (below, per-frame JPEG), and LZW GIF (below) — the
 three common crawl image formats (PNG/JPEG/GIF) are all real decoders.
-Formats that require
-heavyweight codec libraries (MP3/H.264) stay out of scope in this
-container; their Spark-side plumbing is identical (opaque ``binary``
-column + typed metadata out).
+MP3 gets a frame-header metadata walk (below: frame count, sample
+rate, duration, CBR/VBR bitrate — the crawl-catalog fields) with the
+Layer III entropy DECODE deliberately stubbed out; full audio
+synthesis and H.264 stay out of scope in this container, and their
+Spark-side plumbing is identical (opaque ``binary`` column + typed
+metadata out).
 
 Decoders do full real work: PNG defilters every scanline (all 5 filter
 types) after zlib-inflating IDAT; WAV walks RIFF chunks; Y4M parses the
@@ -29,7 +31,8 @@ __all__ = ["make_png", "decode_png", "make_wav", "decode_wav",
            "make_y4m", "decode_y4m", "resize_nearest",
            "make_adpcm_wav", "decode_adpcm_wav",
            "make_mjpeg_avi", "decode_mjpeg_avi",
-           "make_gif", "decode_gif"]
+           "make_gif", "decode_gif",
+           "make_mp3", "decode_mp3_metadata"]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -679,3 +682,105 @@ def decode_gif(data: bytes) -> dict:
     if first is None:
         raise ValueError("GIF has no image")
     return {**first, "n_frames": n_frames}
+
+
+# --------------------------------------------------------------------------
+# MP3 (MPEG-1 Audio Layer III) — frame-HEADER metadata walk. Public
+# spec: ISO/IEC 11172-3 §2.4.1 (frame header layout, bitrate/sample-
+# rate tables, Layer III frame sizing 144*bitrate/rate+padding) plus
+# the de-facto ID3v2.3 / ID3v1 tag wrappers. This is deliberately
+# metadata-only: frame COUNT, sample rate, duration, CBR/VBR mean
+# bitrate — the fields a crawl pipeline actually catalogs — with the
+# entropy payload carried but never decoded (full Layer III synthesis
+# needs Huffman tables + a polyphase filterbank; that DECODE step
+# stays out of scope, exactly like the brief's stubbed-decode rule;
+# the fixture encoder fills payloads with deterministic bytes).
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)  # MPEG-1 Layer III, kbps; 0 = "free"
+_MP3_RATES = (44100, 48000, 32000)  # MPEG-1; index 3 reserved
+_MP3_SPF = 1152  # samples per Layer III MPEG-1 frame
+
+
+def _mp3_frame_len(kbps: int, rate: int, padding: int) -> int:
+    return 144 * kbps * 1000 // rate + padding
+
+
+def make_mp3(frame_kbps: list[int], rate: int = 44100,
+             pad_every: int = 0, id3v2: bytes | None = None,
+             id3v1: bool = False) -> bytes:
+    """One MPEG-1 Layer III frame per entry of ``frame_kbps`` (a
+    constant list = CBR, varying = VBR), deterministic filler payload.
+    ``pad_every=k`` sets the padding bit on every k-th frame (the
+    44.1 kHz byte-reservoir alignment real encoders emit). Optional
+    ID3v2 prefix tag and ID3v1 128-byte trailer."""
+    ri = _MP3_RATES.index(rate)
+    out = bytearray()
+    if id3v2 is not None:
+        if len(id3v2) >= 1 << 28:
+            raise ValueError("ID3v2 tag too large")
+        out += b"ID3\x03\x00\x00" + bytes(
+            (len(id3v2) >> s) & 0x7F for s in (21, 14, 7, 0)) + id3v2
+    for i, kbps in enumerate(frame_kbps):
+        bi = _MP3_BITRATES.index(kbps)
+        pad = 1 if pad_every and (i + 1) % pad_every == 0 else 0
+        flen = _mp3_frame_len(kbps, rate, pad)
+        hdr = bytes((0xFF, 0xFB,  # sync + MPEG-1 + Layer III + no CRC
+                     (bi << 4) | (ri << 2) | (pad << 1),
+                     0xC4))  # mono, original
+        out += hdr + bytes((i * 37 + j) & 0xFF
+                           for j in range(flen - 4))
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def decode_mp3_metadata(data: bytes) -> dict:
+    """Walk MP3 frame headers -> ``{"n_frames", "sample_rate",
+    "duration_ms", "mean_bitrate_kbps", "vbr"}``.
+
+    Skips a leading ID3v2 tag (syncsafe size) and an ID3v1 'TAG'
+    trailer; a final PARTIAL frame (stream cut mid-payload) is
+    dropped, like decode_jpeg's entropy drain. Fails closed
+    (ValueError) on bad sync, non-MPEG-1/non-Layer-III frames,
+    free/reserved bitrate or sample-rate codes, a sample rate that
+    changes mid-stream, or a stream with no complete frame."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10 or any(b & 0x80 for b in data[6:10]):
+            raise ValueError("bad ID3v2 header")
+        pos = 10 + ((data[6] << 21) | (data[7] << 14)
+                    | (data[8] << 7) | data[9])
+    n_frames, kbps_sum, vbr = 0, 0, False
+    rate = first_kbps = None
+    while pos + 4 <= len(data):
+        if data[pos:pos + 3] == b"TAG" and n_frames:
+            pos = len(data)  # ID3v1 trailer (or a cut within one)
+            break
+        b0, b1, b2 = data[pos], data[pos + 1], data[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("bad MP3 frame sync")
+        if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:
+            raise ValueError("only MPEG-1 Layer III supported")
+        bi, ri, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if bi in (0, 15):
+            raise ValueError("free/invalid bitrate code")
+        if ri == 3:
+            raise ValueError("reserved sample-rate code")
+        if rate is None:
+            rate, first_kbps = _MP3_RATES[ri], _MP3_BITRATES[bi]
+        elif rate != _MP3_RATES[ri]:
+            raise ValueError("sample rate changes mid-stream")
+        flen = _mp3_frame_len(_MP3_BITRATES[bi], rate, pad)
+        if pos + flen > len(data):
+            break  # final partial frame: dropped, not an error
+        n_frames += 1
+        kbps_sum += _MP3_BITRATES[bi]
+        vbr = vbr or _MP3_BITRATES[bi] != first_kbps
+        pos += flen
+    if not n_frames:
+        raise ValueError("no complete MP3 frame")
+    return {"n_frames": n_frames, "sample_rate": rate,
+            "duration_ms": n_frames * _MP3_SPF * 1000 // rate,
+            "mean_bitrate_kbps": round(kbps_sum / n_frames, 4),
+            "vbr": vbr}

@@ -577,15 +577,85 @@ ORDER BY d.doc_id
 """
 
 
+def _mp3_kernel(batches: Iterator) -> Iterator:
+    """MP3 frame-header metadata walk (kernels/media.py) over payloads
+    synthesized from doc_id: per-doc sample rate (3-cycle), frame count
+    (9-cycle), CBR (even doc_id) or two-bitrate alternating VBR (odd),
+    a padding bit every 3rd frame, an ID3v2 prefix on doc_id%4==1 and
+    an ID3v1 trailer on doc_id%4==3 — every emitted field is integer
+    arithmetic on doc_id (mean bitrate: exact int-valued doubles), so
+    the DuckDB oracle states all of them exactly."""
+    import pandas as pd
+
+    from ..kernels import media
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            rate = (44100, 48000, 32000)[i % 3]
+            n = 4 + i % 9
+            a = media._MP3_BITRATES[1 + i % 14]
+            b = media._MP3_BITRATES[1 + (i + 5) % 14]
+            kbps = [a] * n if i % 2 == 0 else \
+                [(a, b)[j % 2] for j in range(n)]
+            meta = media.decode_mp3_metadata(media.make_mp3(
+                kbps, rate=rate, pad_every=3,
+                id3v2=b"x" * 17 if i % 4 == 1 else None,
+                id3v1=i % 4 == 3))
+            rows.append({"doc_id": i, **meta})
+        yield pd.DataFrame(rows, columns=["doc_id", "n_frames",
+                                          "sample_rate", "duration_ms",
+                                          "mean_bitrate_kbps", "vbr"])
+
+
+def _q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return _spread(spark, spark.table("documents").select("doc_id")) \
+        .mapInPandas(_mp3_kernel,
+                     schema="doc_id long, n_frames long, "
+                            "sample_rate long, duration_ms long, "
+                            "mean_bitrate_kbps double, vbr boolean") \
+        .orderBy("doc_id")
+
+
+_MP3_ORACLE = """
+WITH br(idx, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),
+  (6,80),(7,96),(8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
+  (14,320)),
+base AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS rate,
+         4 + doc_id % 9 AS n,
+         1 + doc_id % 14 AS ia,
+         1 + (doc_id + 5) % 14 AS ib,
+         doc_id % 2 = 1 AS is_vbr
+  FROM documents)
+SELECT b.doc_id,
+       cast(b.n AS bigint) AS n_frames,
+       cast(b.rate AS bigint) AS sample_rate,
+       cast(b.n * 1152000 // b.rate AS bigint) AS duration_ms,
+       round(CASE WHEN b.is_vbr
+                  THEN (ceil(b.n / 2.0) * a.kbps
+                        + floor(b.n / 2.0) * c.kbps) / b.n
+                  ELSE a.kbps END, 4) AS mean_bitrate_kbps,
+       b.is_vbr AS vbr
+FROM base b JOIN br a ON a.idx = b.ia JOIN br c ON c.idx = b.ib
+ORDER BY b.doc_id
+"""
+
+
 def extension_queries() -> dict:
     """Queries registered AFTER the driver-checked window (the catalog
     keeps the first 50 keys stable across rounds; these are verified by
     tools/check_oracle.py and pytest instead)."""
-    return {"pdf_image_metadata": _q_pdf_image_metadata}
+    return {"pdf_image_metadata": _q_pdf_image_metadata,
+            "mp3_metadata": _q_mp3_metadata}
 
 
 def extension_oracles() -> dict:
-    return {"pdf_image_metadata": _PDF_IMAGE_ORACLE}
+    return {"pdf_image_metadata": _PDF_IMAGE_ORACLE,
+            "mp3_metadata": _MP3_ORACLE}
 
 
 def extract_queries() -> dict:

@@ -719,6 +719,9 @@ def test_media_decoders_mutation_fuzz_fail_closed():
          media.decode_y4m),
         ("avi", media.make_mjpeg_avi(16, 8, [10, 20, 30, 40, 50]),
          media.decode_mjpeg_avi),
+        ("mp3", media.make_mp3([128, 192] * 5, rate=44100, pad_every=3,
+                               id3v2=b"t" * 12, id3v1=True),
+         media.decode_mp3_metadata),
     ]
 
     def _alarm(sig, frm):
@@ -745,3 +748,70 @@ def test_media_decoders_mutation_fuzz_fail_closed():
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def test_mp3_cbr_metadata_exact():
+    from resume_parser_service_spark.kernels.media import (
+        decode_mp3_metadata, make_mp3)
+    meta = decode_mp3_metadata(make_mp3([128] * 10, rate=44100,
+                                        pad_every=3))
+    assert meta == {"n_frames": 10, "sample_rate": 44100,
+                    "duration_ms": 10 * 1152 * 1000 // 44100,
+                    "mean_bitrate_kbps": 128.0, "vbr": False}
+
+
+def test_mp3_vbr_mean_and_flag():
+    from resume_parser_service_spark.kernels.media import (
+        decode_mp3_metadata, make_mp3)
+    meta = decode_mp3_metadata(make_mp3([160, 192, 160, 192, 160],
+                                        rate=32000))
+    assert meta["vbr"] is True
+    assert meta["n_frames"] == 5
+    assert meta["mean_bitrate_kbps"] == round((3 * 160 + 2 * 192) / 5, 4)
+    assert meta["duration_ms"] == 5 * 1152 * 1000 // 32000
+
+
+def test_mp3_id3_tags_skipped():
+    from resume_parser_service_spark.kernels.media import (
+        decode_mp3_metadata, make_mp3)
+    plain = decode_mp3_metadata(make_mp3([64] * 4, rate=48000))
+    tagged = decode_mp3_metadata(make_mp3(
+        [64] * 4, rate=48000, id3v2=b"TIT2-some-title" * 20, id3v1=True))
+    assert tagged == plain
+
+
+def test_mp3_truncation_drops_final_partial_frame():
+    from resume_parser_service_spark.kernels.media import (
+        decode_mp3_metadata, make_mp3)
+    full = make_mp3([96] * 6, rate=44100)
+    cut = decode_mp3_metadata(full[:len(full) - 10])
+    assert cut["n_frames"] == 5
+    assert cut["duration_ms"] == 5 * 1152 * 1000 // 44100
+
+
+def test_mp3_fails_closed():
+    from resume_parser_service_spark.kernels.media import (
+        decode_mp3_metadata, make_mp3)
+    good = make_mp3([128] * 3)
+    with pytest.raises(ValueError, match="sync"):
+        decode_mp3_metadata(b"\x00" + good)
+    with pytest.raises(ValueError, match="no complete"):
+        decode_mp3_metadata(good[:3])
+    mpeg2 = bytearray(good)
+    mpeg2[1] = 0xF3  # version bits 10 = MPEG-2
+    with pytest.raises(ValueError, match="MPEG-1"):
+        decode_mp3_metadata(bytes(mpeg2))
+    free = bytearray(good)
+    free[2] &= 0x0F  # bitrate index 0 = "free"
+    with pytest.raises(ValueError, match="bitrate"):
+        decode_mp3_metadata(bytes(free))
+    resv = bytearray(good)
+    resv[2] |= 0x0C  # sample-rate index 3 = reserved
+    with pytest.raises(ValueError, match="sample-rate"):
+        decode_mp3_metadata(bytes(resv))
+    flen = 144 * 128000 // 44100
+    shifted = good[:flen] + make_mp3([128] * 2, rate=32000)
+    with pytest.raises(ValueError, match="changes mid-stream"):
+        decode_mp3_metadata(shifted)
+    with pytest.raises(ValueError, match="ID3v2"):
+        decode_mp3_metadata(b"ID3\x03\x00\x00\xff\xff\xff\xff" + good)
