@@ -244,13 +244,16 @@ def _parse_dict(data: bytes, pos: int):
 # ------------------------------------------------------------- document ---
 
 class _Document:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
+        self._password = password
         if not data.startswith(b"%PDF"):
             raise PdfError("missing %PDF header")
         self.data = data
         self._cache: dict[int, object] = {}
         self._font_cache: dict = {}  # doc-level: fonts shared across pages
         self._rescanned = False
+        self._crypt = None
+        self._crypt_skip: int | None = None
         self.offsets: dict[int, int] = {}
         self.trailer: dict = {}
         try:
@@ -259,13 +262,67 @@ class _Document:
             self.offsets = {}
         if not self.offsets or "Root" not in self.trailer:
             self._scan_objects()
-        if "Encrypt" in self.trailer:
-            # standard security handler: strings/streams are RC4/AES
-            # encrypted — decode is out of scope; fail loudly into the
-            # FileProcessingError audit path rather than emit mojibake
-            raise PdfError("encrypted PDF (not supported)")
+        if self.trailer.get("Encrypt") is not None:
+            self._init_crypt()
         if "Root" not in self.trailer:
             raise PdfError("no /Root in trailer")
+
+    def _init_crypt(self):
+        """Standard security handler (ISO 32000 §7.6): attempt the empty
+        user password — the common "encrypted but openable" crawl case.
+        A real password or a non-standard handler fails loudly into the
+        FileProcessingError audit path rather than emit mojibake.
+        (The reference fails ALL encrypted uploads: pdf2image raises and
+        app/services/resume_parser.py:60-78 maps it to
+        FileProcessingError — here only truly locked files fail.)"""
+        from . import pdf_crypt
+        ref = self.trailer["Encrypt"]
+        if isinstance(ref, _Ref):
+            self._crypt_skip = ref.num
+        enc = self.resolve(ref)
+        if not isinstance(enc, dict):
+            raise PdfError("malformed /Encrypt")
+        filt = self.resolve(enc.get("Filter"))
+        if filt != "Standard":
+            raise PdfError(f"unsupported security handler {filt!r}")
+        plain = {str(k): self.resolve(v) for k, v in enc.items()}
+        cf = plain.get("CF")
+        if isinstance(cf, dict):
+            plain["CF"] = {
+                str(k): {str(k2): self.resolve(v2)
+                         for k2, v2 in self.resolve(v).items()}
+                for k, v in cf.items()
+                if isinstance(self.resolve(v), dict)}
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        try:
+            self._crypt = pdf_crypt.StandardSecurityHandler(
+                plain, id0, password=self._password)
+        except pdf_crypt.CryptError as e:
+            raise PdfError(f"encrypted PDF: {e}")
+        # objects cached while resolving /Encrypt were parsed without
+        # decryption — drop them so every re-read decrypts
+        self._cache.clear()
+
+    def _decrypt_obj(self, obj, num: int, gen: int):
+        """Recursively decrypt strings (and a stream body) of a freshly
+        parsed TOP-LEVEL object (spec 7.6.2: strings/streams in object
+        streams or xref streams are never individually encrypted — both
+        of those bypass this path)."""
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt_string(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(o, num, gen) for o in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_obj(v, num, gen)
+                    for k, v in obj.items()}
+        if isinstance(obj, _Stream):
+            d = {k: self._decrypt_obj(v, num, gen)
+                 for k, v in obj.dict.items()}
+            return _Stream(d, self._crypt.decrypt_stream(obj.raw, num, gen))
+        return obj
 
     # -- xref chain (classic tables and PDF 1.5+ xref streams)
     def _load_xref(self):
@@ -453,6 +510,8 @@ class _Document:
                 end = obj.raw.find(b"endstream")
                 raw = obj.raw[:end if end >= 0 else len(obj.raw)]
             obj = _Stream(obj.dict, raw)
+        if self._crypt is not None and num != self._crypt_skip:
+            obj = self._decrypt_obj(obj, num, int(m.group(2)))
         self._cache[num] = obj
         return obj
 
@@ -1422,13 +1481,15 @@ def _page_links(doc: _Document, page: dict) -> list[str]:
     return links
 
 
-def extract_pdf(data: bytes) -> dict:
+def extract_pdf(data: bytes, password: bytes = b"") -> dict:
     """Extract text + links from PDF bytes.
 
     Returns ``{"text": str, "links": list[str], "n_pages": int}``.
-    Pages joined with "\\n\\n". Raises PdfError on structural failure.
+    Pages joined with "\\n\\n". Raises PdfError on structural failure
+    (including standard-handler encryption the ``password`` cannot
+    open — the empty default covers the common owner-locked case).
     """
-    doc = _Document(data)
+    doc = _Document(data, password=password)
     pages = doc.pages()
     page_texts = []
     links: list[str] = []

@@ -56,12 +56,25 @@ def _html_extract_kernel(batches: Iterator) -> Iterator:
         yield out
 
 
+# Encryption cycle for the PDF identity proof: every doc round-trips
+# the SAME text contract, 4 of 5 through the standard security handler
+# (kernels/pdf_crypt.py) — so the driver's value-hash also proves the
+# RC4/AES decrypt paths are byte-exact. None = plaintext control.
+_ENC_CYCLE = (None, "rc4-40", "rc4-128", "aes-128", "aes-256")
+
+
 def _pdf_roundtrip_kernel(batches: Iterator) -> Iterator:
     import pandas as pd
+
+    from ..kernels.pdf_crypt import encrypt_pdf
     for pdf in batches:
         outs = []
-        for text in pdf["text"]:
-            outs.append(extract_pdf(make_pdf([text]))["text"])
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = make_pdf([text])
+            mode = _ENC_CYCLE[int(doc_id) % len(_ENC_CYCLE)]
+            if mode is not None:
+                data = encrypt_pdf(data, mode)
+            outs.append(extract_pdf(data)["text"])
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "extracted": outs})
 
 

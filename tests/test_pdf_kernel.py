@@ -230,14 +230,21 @@ def test_corrupt_xref_offsets_recovered_by_object_scan():
 
 
 def test_encrypted_pdf_raises_pdferror():
-    """Encrypted files fail loudly into the FileProcessingError audit
-    path instead of emitting mojibake (VERDICT.md r1 item 5)."""
+    """UNOPENABLE encryption fails loudly into the FileProcessingError
+    audit path instead of emitting mojibake (VERDICT.md r1 item 5).
+    Since r4 the standard handler with an empty/known password IS
+    opened (tests/test_pdf_crypt.py) — this covers the still-failing
+    classes: a dangling /Encrypt ref and a real user password."""
     import pytest
     pdf = make_pdf(["secret"])
     enc = pdf.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ")
     assert enc != pdf
-    with pytest.raises(PdfError, match="encrypted"):
+    with pytest.raises(PdfError, match="Encrypt"):
         extract_pdf(enc)
+    from resume_parser_service_spark.kernels.pdf_crypt import encrypt_pdf
+    locked = encrypt_pdf(pdf, "rc4-128", user_pw=b"real-password")
+    with pytest.raises(PdfError, match="encrypted"):
+        extract_pdf(locked)
 
 
 def _mini_pdf(objects: dict[int, bytes]) -> bytes:
