@@ -784,3 +784,284 @@ def decode_mp3_metadata(data: bytes) -> dict:
             "duration_ms": n_frames * _MP3_SPF * 1000 // rate,
             "mean_bitrate_kbps": round(kbps_sum / n_frames, 4),
             "vbr": vbr}
+
+
+# --------------------------------------------------------------------------
+# H.264 / AVC (ITU-T H.264 / ISO 14496-10) — Annex-B NAL walk with a
+# real SPS/PPS/slice-header parse. Public spec: §7.3.2.1 (SPS syntax,
+# Exp-Golomb coding), §7.3.1 (NAL header), §B.1 (byte-stream start
+# codes + emulation-prevention). Like the MP3 walk this is
+# deliberately header-only: resolution (mb grid minus frame cropping),
+# profile/level, frame counts by slice type — the fields a crawl
+# pipeline catalogs — with the entropy-coded macroblock payload
+# carried but never decoded (CABAC/CAVLC residual decode + inter
+# prediction stays out of scope per the brief's stubbed-decode rule;
+# the fixture encoder emits syntactically valid headers with
+# deterministic filler payloads).
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, value: int) -> None:  # Exp-Golomb, §9.1
+        code = value + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def rbsp(self) -> bytes:
+        """Close the RBSP (stop bit + alignment) and escape 00 00 00/
+        00 00 01/00 00 02/00 00 03 with emulation-prevention bytes."""
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                    for i in range(0, len(bits), 8))
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("truncated H.264 RBSP")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("invalid Exp-Golomb code")
+        return (1 << zeros) - 1 + self.u(zeros)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_H264_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135))
+
+
+def _h264_nal(ref_idc: int, nal_type: int, rbsp: bytes,
+              long_start: bool = False) -> bytes:
+    start = b"\x00\x00\x00\x01" if long_start else b"\x00\x00\x01"
+    return start + bytes([(ref_idc << 5) | nal_type]) + rbsp
+
+
+def make_h264(width: int, height: int, n_frames: int,
+              profile_idc: int = 66, level_idc: int = 30,
+              aud: bool = False) -> bytes:
+    """Annex-B byte stream: SPS + PPS + one IDR then P slices.
+
+    Even ``width``/``height`` only (4:2:0 chroma makes odd frame
+    cropping unrepresentable, spec §7.4.2.1.1); non-multiple-of-16
+    dims exercise frame cropping. ``profile_idc`` 66 (Baseline) or a
+    high profile (exercises the chroma/bit-depth SPS branch).
+    Slice headers are fully valid; the macroblock payload is
+    deterministic filler (decode stubbed by design)."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("H.264 4:2:0 dims must be positive and even")
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    mbs_w, mbs_h = (width + 15) // 16, (height + 15) // 16
+    sps = _BitWriter()
+    sps.u(profile_idc, 8)
+    sps.u(0, 8)  # constraint flags + reserved
+    sps.u(level_idc, 8)
+    sps.ue(0)  # seq_parameter_set_id
+    if profile_idc in _H264_HIGH_PROFILES:
+        sps.ue(1)  # chroma_format_idc = 4:2:0
+        sps.ue(0)  # bit_depth_luma_minus8
+        sps.ue(0)  # bit_depth_chroma_minus8
+        sps.u(0, 1)  # qpprime_y_zero_transform_bypass
+        sps.u(0, 1)  # seq_scaling_matrix_present
+    sps.ue(0)  # log2_max_frame_num_minus4 -> frame_num is u(4)
+    sps.ue(2)  # pic_order_cnt_type 2 (no further POC fields)
+    sps.ue(1)  # max_num_ref_frames
+    sps.u(0, 1)  # gaps_in_frame_num_value_allowed
+    sps.ue(mbs_w - 1)
+    sps.ue(mbs_h - 1)
+    sps.u(1, 1)  # frame_mbs_only_flag
+    sps.u(1, 1)  # direct_8x8_inference_flag
+    crop_r, crop_b = (16 * mbs_w - width) // 2, (16 * mbs_h - height) // 2
+    if crop_r or crop_b:
+        sps.u(1, 1)
+        sps.ue(0)
+        sps.ue(crop_r)
+        sps.ue(0)
+        sps.ue(crop_b)
+    else:
+        sps.u(0, 1)
+    sps.u(0, 1)  # vui_parameters_present_flag
+    pps = _BitWriter()
+    pps.ue(0)  # pic_parameter_set_id
+    pps.ue(0)  # seq_parameter_set_id
+    pps.u(0, 1)  # entropy_coding_mode (CAVLC)
+    pps.u(0, 1)  # bottom_field_pic_order_in_frame_present
+    pps.ue(0)  # num_slice_groups_minus1
+    pps.ue(0)  # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)  # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)  # weighted_pred_flag
+    pps.u(0, 2)  # weighted_bipred_idc
+    pps.ue(0)  # pic_init_qp_minus26 (se: ue code 0)
+    pps.ue(0)  # pic_init_qs_minus26
+    pps.ue(0)  # chroma_qp_index_offset
+    pps.u(0, 3)  # deblocking/constrained-intra/redundant flags
+    out = bytearray()
+    out += _h264_nal(3, 7, sps.rbsp(), long_start=True)
+    out += _h264_nal(3, 8, pps.rbsp())
+    for i in range(n_frames):
+        if aud:
+            w = _BitWriter()
+            w.u(7 if i == 0 else 0, 3)  # primary_pic_type
+            out += _h264_nal(0, 9, w.rbsp())
+        idr = i == 0
+        sl = _BitWriter()
+        sl.ue(0)  # first_mb_in_slice
+        sl.ue(7 if idr else 5)  # slice_type: I / P (the "all slices" 5..9 form)
+        sl.ue(0)  # pic_parameter_set_id
+        sl.u(i & 0xF, 4)  # frame_num
+        if idr:
+            sl.ue(i)  # idr_pic_id
+        # pic_order_cnt_type 2: no POC fields; remaining header fields
+        # (ref-idx overrides, dec_ref_pic_marking, slice_qp_delta) are
+        # entropy-adjacent — stubbed with the payload below.
+        payload = sl.rbsp() + bytes(((i * 31 + j) % 251) + 1
+                                    for j in range(24))
+        out += _h264_nal(3 if idr else 2, 5 if idr else 1, payload)
+    return bytes(out)
+
+
+def _h264_unescape(data: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if zeros >= 2 and b == 3 and i + 1 < len(data) and data[i + 1] <= 3:
+            zeros = 0  # emulation-prevention byte: drop
+        else:
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def decode_h264_metadata(data: bytes) -> dict:
+    """Annex-B walk -> ``{"width", "height", "profile", "level",
+    "n_frames", "n_idr", "n_nals"}``.
+
+    Resolution comes from the SPS macroblock grid minus frame cropping
+    (§7.4.2.1.1, CropUnitX/Y per chroma_format_idc); frames are slice
+    NALs (types 1/5) whose header starts a picture
+    (first_mb_in_slice == 0). Fails closed (ValueError) on missing
+    start code, forbidden_zero_bit, truncated/overlong Exp-Golomb
+    fields, a missing or second contradictory SPS, or slices before
+    the SPS."""
+    # split on 3-byte start codes (a leading 4-byte code is a zero +
+    # 3-byte code; leading zeros before each start code are legal)
+    if len(data) < 5:
+        raise ValueError("not an Annex-B H.264 stream")
+    chunks = data.split(b"\x00\x00\x01")
+    if len(chunks) < 2 or chunks[0].lstrip(b"\x00"):
+        raise ValueError("no leading H.264 start code")
+    sps = None
+    n_frames = n_idr = n_nals = 0
+    for chunk in chunks[1:]:
+        # trailing zeros of this chunk may belong to the NEXT start
+        # code; a NAL is never empty and never ends in a zero byte
+        nal = chunk.rstrip(b"\x00")
+        if not nal:
+            raise ValueError("empty NAL unit")
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        nal_type = hdr & 0x1F
+        n_nals += 1
+        body = _h264_unescape(nal[1:])
+        if nal_type == 7:
+            r = _BitReader(body)
+            profile = r.u(8)
+            r.u(8)  # constraint flags
+            level = r.u(8)
+            r.ue()  # seq_parameter_set_id
+            chroma = 1
+            if profile in _H264_HIGH_PROFILES:
+                chroma = r.ue()
+                if chroma == 3:
+                    r.u(1)  # separate_colour_plane_flag
+                r.ue()  # bit_depth_luma_minus8
+                r.ue()  # bit_depth_chroma_minus8
+                r.u(1)
+                if r.u(1):  # seq_scaling_matrix_present
+                    raise ValueError("scaling matrices unsupported")
+            r.ue()  # log2_max_frame_num_minus4
+            poc_type = r.ue()
+            if poc_type == 0:
+                r.ue()
+            elif poc_type == 1:
+                r.u(1)
+                r.se()
+                r.se()
+                for _ in range(r.ue()):
+                    r.se()
+            r.ue()  # max_num_ref_frames
+            r.u(1)
+            mbs_w = r.ue() + 1
+            mbs_h_units = r.ue() + 1
+            frame_mbs_only = r.u(1)
+            if not frame_mbs_only:
+                r.u(1)  # mb_adaptive_frame_field_flag
+            r.u(1)  # direct_8x8_inference_flag
+            w = 16 * mbs_w
+            h = 16 * mbs_h_units * (2 - frame_mbs_only)
+            if r.u(1):  # frame_cropping_flag
+                cux = (1, 2, 2, 1)[chroma] if chroma <= 3 else 1
+                cuy = ((1, 2, 1, 1)[chroma] if chroma <= 3 else 1) \
+                    * (2 - frame_mbs_only)
+                left, right = r.ue(), r.ue()
+                top, bottom = r.ue(), r.ue()
+                w -= cux * (left + right)
+                h -= cuy * (top + bottom)
+            if w <= 0 or h <= 0:
+                raise ValueError("H.264 cropping exceeds frame")
+            meta = {"width": w, "height": h, "profile": profile,
+                    "level": level}
+            if sps is not None and sps != meta:
+                raise ValueError("contradictory second SPS")
+            sps = meta
+        elif nal_type in (1, 5):
+            if sps is None:
+                raise ValueError("slice before SPS")
+            r = _BitReader(body)
+            if r.ue() == 0:  # first_mb_in_slice: starts a picture
+                n_frames += 1
+                if nal_type == 5:
+                    n_idr += 1
+    if sps is None:
+        raise ValueError("no SPS in stream")
+    if n_frames == 0:
+        raise ValueError("no coded picture in stream")
+    return {**sps, "n_frames": n_frames, "n_idr": n_idr,
+            "n_nals": n_nals}

@@ -658,17 +658,73 @@ ORDER BY b.doc_id
 """
 
 
+def _h264_kernel(batches: Iterator) -> Iterator:
+    """Annex-B H.264 synthesized from doc_id (kernels/media.py walk):
+    per-doc resolution with frame-cropping exercised by the -2*(i%4) /
+    -2*(i%3) offsets, Baseline (even doc_id) or High profile (odd, the
+    chroma/bit-depth SPS branch), level cycling 30/40/50, AUD
+    delimiters on doc_id%4==2 — every emitted field is integer
+    arithmetic on doc_id, so the DuckDB oracle states all of them."""
+    import pandas as pd
+
+    from ..kernels import media
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            meta = media.decode_h264_metadata(media.make_h264(
+                32 + 16 * (i % 8) - 2 * (i % 4),
+                32 + 16 * (i % 5) - 2 * (i % 3),
+                1 + i % 7,
+                profile_idc=66 if i % 2 == 0 else 100,
+                level_idc=30 + 10 * (i % 3),
+                aud=i % 4 == 2))
+            rows.append({"doc_id": i, **meta})
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                          "profile", "level",
+                                          "n_frames", "n_idr", "n_nals"])
+
+
+def _q_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return _spread(spark, spark.table("documents").select("doc_id")) \
+        .mapInPandas(_h264_kernel,
+                     schema="doc_id long, width long, height long, "
+                            "profile long, level long, n_frames long, "
+                            "n_idr long, n_nals long") \
+        .orderBy("doc_id")
+
+
+_H264_ORACLE = """
+SELECT doc_id,
+       cast(32 + 16 * (doc_id % 8) - 2 * (doc_id % 4) AS bigint) AS width,
+       cast(32 + 16 * (doc_id % 5) - 2 * (doc_id % 3) AS bigint) AS height,
+       cast(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 100 END AS bigint)
+           AS profile,
+       cast(30 + 10 * (doc_id % 3) AS bigint) AS level,
+       cast(1 + doc_id % 7 AS bigint) AS n_frames,
+       cast(1 AS bigint) AS n_idr,
+       cast(2 + (1 + doc_id % 7)
+            * CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS bigint)
+           AS n_nals
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def extension_queries() -> dict:
     """Queries registered AFTER the driver-checked window (the catalog
     keeps the first 50 keys stable across rounds; these are verified by
     tools/check_oracle.py and pytest instead)."""
     return {"pdf_image_metadata": _q_pdf_image_metadata,
-            "mp3_metadata": _q_mp3_metadata}
+            "mp3_metadata": _q_mp3_metadata,
+            "h264_metadata": _q_h264_metadata}
 
 
 def extension_oracles() -> dict:
     return {"pdf_image_metadata": _PDF_IMAGE_ORACLE,
-            "mp3_metadata": _MP3_ORACLE}
+            "mp3_metadata": _MP3_ORACLE,
+            "h264_metadata": _H264_ORACLE}
 
 
 def extract_queries() -> dict:

@@ -722,6 +722,8 @@ def test_media_decoders_mutation_fuzz_fail_closed():
         ("mp3", media.make_mp3([128, 192] * 5, rate=44100, pad_every=3,
                                id3v2=b"t" * 12, id3v1=True),
          media.decode_mp3_metadata),
+        ("h264", media.make_h264(62, 34, 4, profile_idc=100, aud=True),
+         media.decode_h264_metadata),
     ]
 
     def _alarm(sig, frm):
@@ -815,3 +817,67 @@ def test_mp3_fails_closed():
         decode_mp3_metadata(shifted)
     with pytest.raises(ValueError, match="ID3v2"):
         decode_mp3_metadata(b"ID3\x03\x00\x00\xff\xff\xff\xff" + good)
+
+
+# -------------------------------------------------------------- H.264
+
+def test_h264_roundtrip_dims_profiles_and_counts():
+    from resume_parser_service_spark.kernels import media
+    cases = [
+        (64, 48, 3, 66, False),    # mb-aligned, Baseline
+        (62, 34, 5, 100, False),   # cropped both axes, High profile
+        (16, 16, 1, 66, True),     # minimal + AUD per frame
+        (1278, 718, 2, 100, True),  # 720p-ish crop
+    ]
+    for w, h, n, profile, aud in cases:
+        meta = media.decode_h264_metadata(media.make_h264(
+            w, h, n, profile_idc=profile, level_idc=40, aud=aud))
+        assert meta == {"width": w, "height": h, "profile": profile,
+                        "level": 40, "n_frames": n, "n_idr": 1,
+                        "n_nals": 2 + n * (2 if aud else 1)}
+
+
+def test_h264_emulation_prevention_roundtrip():
+    """An RBSP whose raw bytes contain start-code-like runs must be
+    escaped by the writer and transparently unescaped by the reader."""
+    from resume_parser_service_spark.kernels import media
+    w = media._BitWriter()
+    for b in (0x00, 0x00, 0x01, 0x00, 0x00, 0x02, 0x00, 0x00, 0x03,
+              0x00, 0x00, 0x00, 0x7F):
+        w.u(b, 8)
+    escaped = w.rbsp()
+    assert b"\x00\x00\x01" not in escaped
+    assert b"\x00\x00\x00" not in escaped
+    plain = media._h264_unescape(escaped)
+    assert plain.startswith(bytes((0, 0, 1, 0, 0, 2, 0, 0, 3,
+                                   0, 0, 0, 0x7F)))
+    # and a full-stream check: large mb counts put zero runs in the SPS
+    meta = media.decode_h264_metadata(media.make_h264(2048, 1024, 2))
+    assert (meta["width"], meta["height"]) == (2048, 1024)
+
+
+def test_h264_fails_closed():
+    import pytest
+
+    from resume_parser_service_spark.kernels import media
+    good = media.make_h264(64, 48, 2)
+    with pytest.raises(ValueError):
+        media.decode_h264_metadata(b"")
+    with pytest.raises(ValueError):
+        media.decode_h264_metadata(b"\xff" + good)  # junk before start
+    with pytest.raises(ValueError):  # forbidden_zero_bit
+        idx = good.index(b"\x00\x00\x00\x01") + 4
+        media.decode_h264_metadata(
+            good[:idx] + bytes([good[idx] | 0x80]) + good[idx + 1:])
+    with pytest.raises(ValueError):  # slice before SPS
+        sps_end = good.index(b"\x00\x00\x01", 4)
+        media.decode_h264_metadata(good[:4] + good[sps_end:])
+    with pytest.raises(ValueError):  # truncated SPS
+        media.decode_h264_metadata(good[:9])
+    with pytest.raises(ValueError):  # SPS+PPS but no coded picture
+        slice_at = good.index(b"\x00\x00\x01\x65")
+        media.decode_h264_metadata(good[:slice_at])
+    with pytest.raises(ValueError):  # odd dims unrepresentable in 4:2:0
+        media.make_h264(63, 48, 1)
+    with pytest.raises(ValueError):
+        media.make_h264(64, 48, 0)
