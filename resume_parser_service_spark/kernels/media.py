@@ -934,7 +934,9 @@ def make_h264(width: int, height: int, n_frames: int,
     for i in range(n_frames):
         if aud:
             w = _BitWriter()
-            w.u(7 if i == 0 else 0, 3)  # primary_pic_type
+            # primary_pic_type (Table 7-5): 0 = I slices only (the
+            # IDR picture), 1 = P+I allowed (the P pictures)
+            w.u(0 if i == 0 else 1, 3)
             out += _h264_nal(0, 9, w.rbsp())
         idr = i == 0
         sl = _BitWriter()

@@ -47,6 +47,24 @@ _PAD = bytes([
 ])
 
 
+def _rc4_chain(key: bytes, data: bytes, rounds) -> bytes:
+    """Algorithm 3/4/5/7 RC4 chain: apply RC4 with ``key XOR i`` for
+    each i in ``rounds`` (encrypt: 1..19 ascending after the i=0 pass;
+    decrypt/recover: 19..0 descending)."""
+    for i in rounds:
+        data = rc4(bytes(b ^ i for b in key), data)
+    return data
+
+
+def _owner_key(owner_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3 steps a-d: the RC4 key that encrypts /O."""
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    return h[:n]
+
+
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric: same call encrypts and decrypts)."""
     s = list(range(256))
@@ -258,16 +276,23 @@ class StandardSecurityHandler:
     """
 
     def __init__(self, enc: dict, id0: bytes, password: bytes = b""):
-        self.v = int(enc.get("V", 0))
-        self.r = int(enc.get("R", 2))
-        self.length = int(enc.get("Length", 40))
+        try:
+            self.v = int(enc.get("V", 0))
+            self.r = int(enc.get("R", 2))
+            self.length = int(enc.get("Length", 40))
+        except (TypeError, ValueError):
+            raise CryptError("non-numeric /V, /R or /Length")
         self.o = _as_bytes(enc.get("O"))
         self.u = _as_bytes(enc.get("U"))
         self.oe = _as_bytes(enc.get("OE"))
         self.ue = _as_bytes(enc.get("UE"))
         p = enc.get("P", -1)
-        self.p = int(p) if not isinstance(p, bool) else -1
-        if self.p > 0x7FFFFFFF:  # stored unsigned by some writers
+        self.p = int(p) if isinstance(p, (int, float)) \
+            and not isinstance(p, bool) else -1
+        # stored unsigned (or junk-width) by some writers: reduce to
+        # the signed 32-bit value Algorithm 2 packs
+        self.p &= 0xFFFFFFFF
+        if self.p > 0x7FFFFFFF:
             self.p -= 0x100000000
         em = enc.get("EncryptMetadata", True)
         self.encrypt_metadata = bool(em) if isinstance(em, bool) else True
@@ -277,6 +302,16 @@ class StandardSecurityHandler:
         elif self.v == 4:
             self.stm_cfm = self._cfm(enc, enc.get("StmF", "Identity"))
             self.str_cfm = self._cfm(enc, enc.get("StrF", "Identity"))
+            if "Length" not in enc:
+                # ISO 32000-1 Table 20: top-level /Length is a V2/V3
+                # field; V4 writers may declare it only in the crypt
+                # filter (Table 25, in BYTES — but tolerate bits)
+                cf = enc.get("CF")
+                cfd = cf.get(str(enc.get("StmF", ""))) \
+                    if isinstance(cf, dict) else None
+                cflen = cfd.get("Length") if isinstance(cfd, dict) else None
+                if isinstance(cflen, int) and cflen > 0:
+                    self.length = cflen * 8 if cflen <= 40 else cflen
         elif self.v == 5:
             self.stm_cfm = self.str_cfm = "AESV3"
         else:
@@ -307,13 +342,10 @@ class StandardSecurityHandler:
             return key
         # try as owner password: Algorithm 7 recovers the user password
         okey = self._owner_rc4_key(password)
-        data = self.o
         if self.r == 2:
-            userpw = rc4(okey, data)
+            userpw = rc4(okey, self.o)
         else:
-            for i in range(19, -1, -1):
-                data = rc4(bytes(b ^ i for b in okey), data)
-            userpw = data
+            userpw = _rc4_chain(okey, self.o, range(19, -1, -1))
         key = self._alg2(userpw)
         if self._check_user_r234(key):
             return key
@@ -333,20 +365,14 @@ class StandardSecurityHandler:
         return key[:n]
 
     def _owner_rc4_key(self, owner_pw: bytes) -> bytes:
-        h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
-        if self.r >= 3:
-            for _ in range(50):
-                h = hashlib.md5(h).digest()
         n = 5 if self.r == 2 else max(5, min(16, self.length // 8))
-        return h[:n]
+        return _owner_key(owner_pw, self.r, n)
 
     def _check_user_r234(self, key: bytes) -> bool:
         if self.r == 2:
             return rc4(key, _PAD) == self.u[:32]
-        u = hashlib.md5(_PAD + self.id0).digest()
-        u = rc4(key, u)
-        for i in range(1, 20):
-            u = rc4(bytes(b ^ i for b in key), u)
+        u = _rc4_chain(key, rc4(key, hashlib.md5(_PAD + self.id0).digest()),
+                       range(1, 20))
         return u == self.u[:16]
 
     # Algorithm 2.A/2.B (R5 deprecated Adobe, R6 ISO 32000-2).
@@ -434,16 +460,10 @@ _P_PERMS = -3904  # print/copy allowed; modify/annotate denied
 
 def _gen_o_r234(r: int, n: int, user_pw: bytes, owner_pw: bytes) -> bytes:
     """Algorithm 3: the /O entry."""
-    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    okey = _owner_key(owner_pw, r, n)
+    o = rc4(okey, (user_pw + _PAD)[:32])
     if r >= 3:
-        for _ in range(50):
-            h = hashlib.md5(h).digest()
-    okey = h[:n]
-    o = (user_pw + _PAD)[:32]
-    o = rc4(okey, o)
-    if r >= 3:
-        for i in range(1, 20):
-            o = rc4(bytes(b ^ i for b in okey), o)
+        o = _rc4_chain(okey, o, range(1, 20))
     return o
 
 
@@ -488,13 +508,13 @@ def _ser_obj(obj, pt) -> bytes:
     raise CryptError(f"unserializable object {type(obj).__name__}")
 
 
-def _walk_encrypt_strings(obj, handler, num, pt):
+def _walk_encrypt_strings(obj, handler, num):
     if isinstance(obj, bytes):
         return handler.encrypt_string(obj, num, 0)
     if isinstance(obj, list):
-        return [_walk_encrypt_strings(o, handler, num, pt) for o in obj]
+        return [_walk_encrypt_strings(o, handler, num) for o in obj]
     if isinstance(obj, dict):
-        return {k: _walk_encrypt_strings(v, handler, num, pt)
+        return {k: _walk_encrypt_strings(v, handler, num)
                 for k, v in obj.items()}
     return obj
 
@@ -535,10 +555,8 @@ def encrypt_pdf(data: bytes, mode: str = "rc4-128",
         if r == 2:
             u = rc4(key, _PAD)
         else:
-            u = hashlib.md5(_PAD + id0).digest()
-            u = rc4(key, u)
-            for i in range(1, 20):
-                u = rc4(bytes(b ^ i for b in key), u)
+            u = _rc4_chain(key, rc4(key, hashlib.md5(_PAD + id0).digest()),
+                           range(1, 20))
             u += hashlib.md5(b"upad" + id0).digest()
         enc["U"] = u
         if v == 4:
@@ -596,12 +614,11 @@ def encrypt_pdf(data: bytes, mode: str = "rc4-128",
             d = dict(obj.dict)
             raw = handler.encrypt_stream(obj.raw, num, 0)
             d["Length"] = len(raw)
-            d = _walk_encrypt_strings(d, handler, num, pt)
+            d = _walk_encrypt_strings(d, handler, num)
             body = (_ser_obj(d, pt) + b"\nstream\n" + raw
                     + b"\nendstream")
         else:
-            body = _ser_obj(_walk_encrypt_strings(obj, handler, num, pt),
-                            pt)
+            body = _ser_obj(_walk_encrypt_strings(obj, handler, num), pt)
         bodies[num] = body
 
     enc_num = max(bodies) + 1 if bodies else 1

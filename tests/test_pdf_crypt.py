@@ -185,3 +185,38 @@ def test_hash_2b_spec_loop():
     # R5 short-circuit
     assert pc._hash_2b(5, b"pw", b"saltsalt") == \
         hashlib.sha256(b"pw" + b"saltsalt").digest()
+
+
+def test_malformed_encrypt_dict_raises_pdferror():
+    """Garbage /Encrypt values must land in the PdfError audit path,
+    never leak ValueError/TypeError/struct.error (review finding)."""
+    plain = make_pdf(["x"])
+    enc = encrypt_pdf(plain, "aes-128")
+    for bad, good in ((b"/V 4", b"/V /AESV2"),        # name where int due
+                      (b"/Length 128", b"/Length /High"),
+                      (b"/P -3904", b"/P 9999999999")):  # junk-width P
+        broken = enc.replace(bad, good)
+        assert broken != enc
+        with pytest.raises(PdfError):
+            extract_pdf(broken)
+
+
+def test_v4_length_only_in_crypt_filter():
+    """ISO 32000-1 Table 20 marks top-level /Length as V2/V3-only; a
+    conformant AESV2 writer may declare key length solely via
+    /CF/StdCF/Length (bytes). Such files must still open."""
+    plain = make_pdf(TEXTS)
+    enc = encrypt_pdf(plain, "aes-128")
+    stripped = enc.replace(b"/Length 128 ", b"", 1)
+    assert stripped != enc and b"/Length 16" in stripped  # CF Length stays
+    assert extract_pdf(stripped)["text"] == extract_pdf(plain)["text"]
+
+
+def test_unsigned_p_still_authenticates():
+    """/P stored as unsigned 32-bit (2**32 + P) must derive the same
+    key — common in rewritten crawl PDFs."""
+    plain = make_pdf(["unsigned P"])
+    enc = encrypt_pdf(plain, "rc4-128")
+    unsigned = enc.replace(b"/P -3904", b"/P 4294963392")  # 2**32 - 3904
+    assert unsigned != enc
+    assert extract_pdf(unsigned)["text"] == extract_pdf(plain)["text"]
