@@ -80,6 +80,97 @@ class SnapshotTable:
                 f"snapshot(s) {gone} — past the retention horizon")
         return live
 
+    # --------------------------------------------------- schema evolution --
+    # Iceberg-style column evolution without field IDs: a table-level
+    # operation log (_schema/evolution.json) records add/rename/drop/
+    # widen ops; every commit stamps the log length as its
+    # schema_version, and reads transform each snapshot's frame from
+    # its version to the current schema before the union. Differences
+    # vs Iceberg, documented: time travel reads with the CURRENT
+    # schema (Iceberg uses the snapshot's own), and rename is
+    # name-mapping-based, so it cannot distinguish a rename from a
+    # drop+add done in one step — do them as separate ops.
+
+    @property
+    def _evolution_path(self) -> str:
+        return os.path.join(self.root, "_schema", "evolution.json")
+
+    def _evolution(self) -> list[dict]:
+        try:
+            with open(self._evolution_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return []
+
+    def _record_evolution(self, op: dict) -> int:
+        ops = self._evolution()
+        op = {**op, "version": len(ops) + 1, "at": time.time()}
+        ops.append(op)
+        os.makedirs(os.path.dirname(self._evolution_path), exist_ok=True)
+        tmp = self._evolution_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(ops, fh)
+        os.replace(tmp, self._evolution_path)
+        return op["version"]
+
+    _INTERNAL_COLS = ("_snapshot_id", "_deleted", "_bucket")
+
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        """Declare a new column: snapshots written before it read as
+        ``default`` (cast to ``dtype``; None = NULL, Iceberg's
+        read-missing-as-null plus v3 initial-default semantics)."""
+        if name in self._INTERNAL_COLS or name == self.key_col:
+            raise ValueError(f"cannot add reserved column {name!r}")
+        return self._record_evolution(
+            {"op": "add", "name": name, "type": dtype, "default": default})
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column; historical files keep the old parquet name
+        and are mapped on read (Iceberg RENAME COLUMN semantics)."""
+        if old == self.key_col or old in self._INTERNAL_COLS:
+            raise ValueError(f"cannot rename {old!r}")
+        if new == self.key_col or new in self._INTERNAL_COLS:
+            raise ValueError(f"cannot rename to reserved {new!r}")
+        return self._record_evolution(
+            {"op": "rename", "old": old, "new": new})
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column from the readable schema; historical files
+        keep the bytes but every read projects it away."""
+        if name == self.key_col or name in self._INTERNAL_COLS:
+            raise ValueError(f"cannot drop {name!r}")
+        return self._record_evolution({"op": "drop", "name": name})
+
+    def widen_column(self, name: str, dtype: str) -> int:
+        """Promote a column's type (int->long, float->double — the
+        Iceberg-legal widenings; the cast is applied to older
+        snapshots on read so the union is type-consistent)."""
+        if name == self.key_col or name in self._INTERNAL_COLS:
+            raise ValueError(f"cannot widen {name!r}")
+        return self._record_evolution(
+            {"op": "widen", "name": name, "type": dtype})
+
+    def _apply_evolution(self, df: DataFrame, from_version: int
+                         ) -> DataFrame:
+        """Transform a snapshot's frame from the schema it was written
+        under to the current schema (ops recorded after it)."""
+        from pyspark.sql import functions as F
+        for op in self._evolution():
+            if op["version"] <= from_version:
+                continue
+            kind = op["op"]
+            if kind == "rename" and op["old"] in df.columns:
+                df = df.withColumnRenamed(op["old"], op["new"])
+            elif kind == "drop" and op["name"] in df.columns:
+                df = df.drop(op["name"])
+            elif kind == "widen" and op["name"] in df.columns:
+                df = df.withColumn(
+                    op["name"], F.col(op["name"]).cast(op["type"]))
+            elif kind == "add" and op["name"] not in df.columns:
+                df = df.withColumn(
+                    op["name"], F.lit(op["default"]).cast(op["type"]))
+        return df
+
     # ----------------------------------------------------------- commit --
     def commit(self, df: DataFrame, partitions: int | None = None,
                replaces: list[int] | None = None,
@@ -118,6 +209,7 @@ class SnapshotTable:
             out.write.mode("overwrite").parquet(path)
         manifest = {"id": snap_id, "parent": last["id"] if last else None,
                     "path": rel, "committed_at": time.time(),
+                    "schema_version": len(self._evolution()),
                     "files": self._file_stats(path)}
         if replaces:
             manifest["replaces"] = sorted(replaces)
@@ -188,21 +280,28 @@ class SnapshotTable:
     # ------------------------------------------------------------- read --
     def read(self, spark: SparkSession, version: int | None = None
              ) -> DataFrame | None:
-        """Union of snapshots up to ``version`` (time travel). Compacted
-        snapshots are read via their compaction; expired ones raise."""
-        paths = [os.path.join(self.root, s["path"])
-                 for s in self.live_snapshots(version)]
-        if not paths:
+        """Union of snapshots up to ``version`` (time travel, read with
+        the CURRENT schema after evolution). Compacted snapshots are
+        read via their compaction; expired ones raise."""
+        snaps = self.live_snapshots(version)
+        if not snaps:
             return None
-        if not self.buckets:
-            # mergeSchema: snapshots written before a column was added
-            # (schema evolution) still union cleanly — missing columns
-            # read as NULL, matching Iceberg's evolution semantics
+        if not self.buckets and not self._evolution():
+            # fast path: one multi-path scan. mergeSchema covers the
+            # implicit (pre-declared) additive case — columns missing
+            # from older snapshots read as NULL, Iceberg semantics
+            paths = [os.path.join(self.root, s["path"]) for s in snaps]
             return spark.read.option("mergeSchema", "true").parquet(*paths)
-        # bucketed layout: each snapshot dir is its own partitioned base
+        # bucketed layout and/or declared evolution ops: per-snapshot
+        # read so each frame is transformed from ITS schema version
         df = None
-        for p in paths:
-            part = spark.read.option("basePath", p).parquet(p)
+        for s in snaps:
+            p = os.path.join(self.root, s["path"])
+            reader = spark.read.option("mergeSchema", "true")
+            if self.buckets:
+                reader = reader.option("basePath", p)
+            part = self._apply_evolution(reader.parquet(p),
+                                         s.get("schema_version", 0))
             df = part if df is None else df.unionByName(
                 part, allowMissingColumns=True)
         return df
@@ -214,20 +313,31 @@ class SnapshotTable:
         read as the last resort. Returns None for an empty prune."""
         if self.buckets:
             b = _hash60_py(key) % self.buckets
-            paths = [os.path.join(self.root, s["path"], f"_bucket={b}")
+            found = [(s, os.path.join(self.root, s["path"], f"_bucket={b}"))
                      for s in self.live_snapshots()]
-            paths = [p for p in paths if os.path.exists(p)]
-            if not paths:
+            found = [(s, p) for s, p in found if os.path.exists(p)]
+            if not found:
                 return None
-            # mergeSchema: after schema evolution (e.g. --enrich turned
-            # on mid-table) a single arbitrary footer would drop the
-            # newer columns; read() handles this via unionByName
-            return spark.read.option("mergeSchema", "true").parquet(*paths)
-        files = self.prune_files(key_eq=key)
-        if files is not None:
-            if not files:
-                return None
-            return spark.read.option("mergeSchema", "true").parquet(*files)
+            # mergeSchema: after implicit additive evolution a single
+            # arbitrary footer would drop the newer columns; declared
+            # evolution ops additionally transform per snapshot
+            df = None
+            for s, p in found:
+                part = self._apply_evolution(
+                    spark.read.option("mergeSchema", "true").parquet(p),
+                    s.get("schema_version", 0))
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True)
+            return df
+        if not self._evolution():
+            files = self.prune_files(key_eq=key)
+            if files is not None:
+                if not files:
+                    return None
+                return spark.read.option("mergeSchema", "true") \
+                    .parquet(*files)
+        # declared evolution: prune_files loses snapshot identity (the
+        # transforms are per-snapshot), so fall back to the full read
         return self.read(spark)
 
     def point_lookup(self, spark: SparkSession, key: str) -> DataFrame:
