@@ -79,6 +79,8 @@ EDGE_URLS = {
     "truncated": "urn:fixture:truncated-pdf",
     "six_pages": "urn:fixture:six-pages",
     "links": "urn:fixture:links",
+    "encrypted": "urn:fixture:encrypted-pdf",
+    "locked": "urn:fixture:locked-pdf",
 }
 
 
@@ -209,6 +211,15 @@ def synth_doc(doc_id: int, dup: bool = False) -> dict:
         html = make_pdf(_pdf_pages_from_text(text), links,
                         xref_stream=doc_id % 10 < 2,   # PDF 1.5 xref stream
                         objstm=doc_id % 10 == 0)       # + object stream
+        if doc_id % 10 == 1:
+            # 1/3 of PDFs are "encrypted but openable" (owner-locked,
+            # empty user password) — the common crawl shape; the text
+            # byte-identity contract is unchanged because extract_pdf
+            # decrypts (kernels/pdf_crypt.py). Mode cycles all four
+            # standard-handler generations.
+            from ..kernels.pdf_crypt import encrypt_pdf
+            html = encrypt_pdf(html, ("rc4-40", "rc4-128", "aes-128",
+                                      "aes-256")[(doc_id // 10) % 4])
     else:  # 70% HTML articles
         paragraphs = _article_text(rng)
         text = "\n".join(paragraphs)
@@ -228,6 +239,12 @@ def fixture_rows() -> list[dict]:
                       ["https://github.com/fixture",
                        "https://linkedin.com/in/fixture"])
     truncated = make_pdf(["will be truncated"])[:120]
+    from ..kernels.pdf_crypt import encrypt_pdf
+    # owner-locked, empty user password: must extract byte-identically
+    encrypted = encrypt_pdf(make_pdf(["Encrypted page body"]), "aes-128")
+    # real user password: must fail loudly into FileProcessingError
+    locked = encrypt_pdf(make_pdf(["secret"]), "rc4-128",
+                         user_pw=b"fixture-password")
     rows = [
         {"url": EDGE_URLS["minimal"], "html": minimal, "text": ""},
         {"url": EDGE_URLS["oversize"], "html": b"%PDF-1.4\n" + b"\x00" * (10 * 1024 * 1024 + 1), "text": ""},
@@ -236,6 +253,9 @@ def fixture_rows() -> list[dict]:
         {"url": EDGE_URLS["six_pages"], "html": six,
          "text": "\n\n".join(f"Page {i} body" for i in range(1, 7))},
         {"url": EDGE_URLS["links"], "html": linked, "text": "Links page"},
+        {"url": EDGE_URLS["encrypted"], "html": encrypted,
+         "text": "Encrypted page body"},
+        {"url": EDGE_URLS["locked"], "html": locked, "text": ""},
     ]
     for r in rows:
         r.setdefault("warc_ts", ts)

@@ -58,7 +58,8 @@ def test_audit_complete_and_taxonomy(spark, corpus):
                  .agg(F.count("*").alias("n")).collect()}
     assert by_status.get(("rejected", "FileTooLargeError")) == 1
     assert by_status.get(("rejected", "InvalidFileTypeError")) == 1
-    assert by_status.get(("error", "FileProcessingError")) == 1  # truncated
+    # truncated + locked (real-user-password) encrypted fixture
+    assert by_status.get(("error", "FileProcessingError")) == 2
     assert ("ok", None) in by_status
     # every input url appears in the audit exactly once
     n_urls = corpus["pages"].select("url").distinct().count()
@@ -79,6 +80,9 @@ def test_edge_fixture_metrics(spark, corpus):
     assert rows[EDGE_URLS["six_pages"]]["n_pages"] == 6
     assert rows[EDGE_URLS["links"]]["links"] == [
         "https://github.com/fixture", "https://linkedin.com/in/fixture"]
+    # owner-locked (empty user password) PDF decrypts byte-identically
+    assert rows[EDGE_URLS["encrypted"]]["text"] == "Encrypted page body"
+    assert EDGE_URLS["locked"] not in rows  # error rows never commit
 
 
 def test_resume_struct_populated(spark, corpus):
