@@ -31,9 +31,10 @@ from .catalog import register_views
 
 __all__ = ["extract_queries", "extract_oracles"]
 
-# Boilerplate wrapper — built with pure SQL string concat so the exact
-# same bytes are constructible on both engines if ever needed; the main
-# content block is documents.text verbatim.
+# Boilerplate wrapper; the main content block is documents.text
+# verbatim, so extraction must return it byte-identically. The bytes
+# are built in the kernel (_html_wrap) because the ENCODING cycles by
+# doc_id to cover every charset-decode path.
 _HTML_TMPL_PRE = ('<!DOCTYPE html><html><head><title>d</title>'
                   '<style>p{margin:0}</style></head><body>'
                   '<nav><ul><li><a href="/a">alpha</a></li>'
@@ -45,13 +46,36 @@ _HTML_TMPL_POST = ('</p></article><footer><p>contact &amp; legal '
                    '<a href="/tos">tos</a></p></footer></body></html>')
 
 
+def _html_wrap(doc_id: int, text: str) -> bytes:
+    """Wrap text in the boilerplate template, cycling the ENCODING by
+    doc_id so the identity proof also covers every charset-decode path
+    of kernels/html_text._decode: plain UTF-8, UTF-8 BOM, a declared
+    <meta charset=iso-8859-1> with latin-1 bytes (only when the text is
+    latin-1-encodable — deterministic), and UTF-16 with BOM."""
+    page = _HTML_TMPL_PRE + text + _HTML_TMPL_POST
+    mode = doc_id % 4
+    if mode == 1:
+        return b"\xef\xbb\xbf" + page.encode("utf-8")
+    if mode == 2:
+        declared = page.replace(
+            "<head>", '<head><meta charset="iso-8859-1">', 1)
+        try:
+            return declared.encode("latin-1")
+        except UnicodeEncodeError:
+            return page.encode("utf-8")
+    if mode == 3:
+        return page.encode("utf-16")  # LE with BOM
+    return page.encode("utf-8")
+
+
 def _html_extract_kernel(batches: Iterator) -> Iterator:
     import pandas as pd
     for pdf in batches:
         out = pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "extracted": [extract_html(bytes(b))["text"]
-                          for b in pdf["html"]],
+            "extracted": [
+                extract_html(_html_wrap(int(i), t))["text"]
+                for i, t in zip(pdf["doc_id"], pdf["text"])],
         })
         yield out
 
@@ -93,12 +117,8 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def _q_extract_html_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    wrapped = spark.sql(f"""
-        SELECT doc_id,
-               cast(concat('{_HTML_TMPL_PRE}', text, '{_HTML_TMPL_POST}')
-                    as binary) AS html
-        FROM documents""")
-    return _spread(spark, wrapped) \
+    docs = spark.table("documents").select("doc_id", "text")
+    return _spread(spark, docs) \
         .mapInPandas(_html_extract_kernel,
                      schema="doc_id long, extracted string") \
         .orderBy("doc_id")
