@@ -311,7 +311,10 @@ class StandardSecurityHandler:
                     if isinstance(cf, dict) else None
                 cflen = cfd.get("Length") if isinstance(cfd, dict) else None
                 if isinstance(cflen, int) and cflen > 0:
-                    self.length = cflen * 8 if cflen <= 40 else cflen
+                    # BYTES per Table 25, but tolerate bits: a legal
+                    # V4 key is at most 16 bytes (128-bit), so any
+                    # value above 16 can only be a bit count
+                    self.length = cflen * 8 if cflen <= 16 else cflen
         elif self.v == 5:
             self.stm_cfm = self.str_cfm = "AESV3"
         else:

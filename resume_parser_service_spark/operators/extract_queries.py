@@ -51,14 +51,26 @@ def _html_wrap(doc_id: int, text: str) -> bytes:
     doc_id so the identity proof also covers every charset-decode path
     of kernels/html_text._decode: plain UTF-8, UTF-8 BOM, a declared
     <meta charset=iso-8859-1> with latin-1 bytes (only when the text is
-    latin-1-encodable — deterministic), and UTF-16 with BOM."""
+    latin-1-encodable — deterministic), and UTF-16 with BOM.
+
+    Mode 2 plants a latin-1-only marker ("déjà", bytes E9/E0 followed
+    by ASCII = invalid UTF-8) in the <title> BOILERPLATE — extraction
+    strips it, so text identity is untouched — which forces _decode
+    past its strict-UTF-8 attempt into the declared-charset branch.
+    Without the marker the branch is unreachable on ASCII-ish corpora
+    (latin-1 bytes of ASCII are valid UTF-8), and worse, mojibake-
+    shaped text whose latin-1 bytes happen to be valid UTF-8 (e.g.
+    'naïve' written as C3 AF) would decode differently and break the
+    byte-identity contract."""
     page = _HTML_TMPL_PRE + text + _HTML_TMPL_POST
     mode = doc_id % 4
     if mode == 1:
         return b"\xef\xbb\xbf" + page.encode("utf-8")
     if mode == 2:
         declared = page.replace(
-            "<head>", '<head><meta charset="iso-8859-1">', 1)
+            "<head><title>d</title>",
+            '<head><meta charset="iso-8859-1"><title>d\xe9j\xe0</title>',
+            1)
         try:
             return declared.encode("latin-1")
         except UnicodeEncodeError:

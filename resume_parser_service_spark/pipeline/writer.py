@@ -115,12 +115,62 @@ class SnapshotTable:
 
     _INTERNAL_COLS = ("_snapshot_id", "_deleted", "_bucket")
 
+    def _current_columns(self) -> dict[str, str] | None:
+        """Current logical schema {column: spark_dtype}: one parquet
+        footer of the last live snapshot (driver-side pyarrow, no Spark
+        job) transformed through the ops recorded after it. None when
+        no data or footer exists yet (validation is then skipped)."""
+        snaps = [s for s in self.snapshots() if not s.get("expired")]
+        live = self.live_snapshots() if snaps else []
+        if not live:
+            return None
+        last = live[-1]
+        fp = None
+        for dirpath, _dirs, files in os.walk(
+                os.path.join(self.root, last["path"])):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(dirpath, f)
+                    break
+            if fp:
+                break
+        if fp is None:
+            return None
+        try:
+            import pyarrow.parquet as pq
+            schema = pq.ParquetFile(fp).schema_arrow
+        except Exception:
+            return None
+        _ARROW2SPARK = {"int8": "tinyint", "int16": "smallint",
+                        "int32": "int", "int64": "long",
+                        "float": "float", "halffloat": "float",
+                        "double": "double", "string": "string",
+                        "large_string": "string", "bool": "boolean",
+                        "binary": "binary", "large_binary": "binary"}
+        cols = {f.name: _ARROW2SPARK.get(str(f.type), str(f.type))
+                for f in schema}
+        for op in self._evolution():
+            if op["version"] <= last.get("schema_version", 0):
+                continue
+            if op["op"] == "rename" and op["old"] in cols:
+                cols[op["new"]] = cols.pop(op["old"])
+            elif op["op"] == "drop":
+                cols.pop(op["name"], None)
+            elif op["op"] == "widen" and op["name"] in cols:
+                cols[op["name"]] = op["type"]
+            elif op["op"] == "add":
+                cols.setdefault(op["name"], op["type"])
+        return cols
+
     def add_column(self, name: str, dtype: str, default=None) -> int:
         """Declare a new column: snapshots written before it read as
         ``default`` (cast to ``dtype``; None = NULL, Iceberg's
         read-missing-as-null plus v3 initial-default semantics)."""
         if name in self._INTERNAL_COLS or name == self.key_col:
             raise ValueError(f"cannot add reserved column {name!r}")
+        cols = self._current_columns()
+        if cols is not None and name in cols:
+            raise ValueError(f"column {name!r} already exists")
         return self._record_evolution(
             {"op": "add", "name": name, "type": dtype, "default": default})
 
@@ -131,6 +181,15 @@ class SnapshotTable:
             raise ValueError(f"cannot rename {old!r}")
         if new == self.key_col or new in self._INTERNAL_COLS:
             raise ValueError(f"cannot rename to reserved {new!r}")
+        cols = self._current_columns()
+        if cols is not None:
+            # Iceberg rejects these at ALTER time; accepting them here
+            # would poison the append-only op log and break every read
+            # (two columns named `new` -> AMBIGUOUS_REFERENCE)
+            if old not in cols:
+                raise ValueError(f"no column {old!r} to rename")
+            if new in cols:
+                raise ValueError(f"column {new!r} already exists")
         return self._record_evolution(
             {"op": "rename", "old": old, "new": new})
 
@@ -139,6 +198,9 @@ class SnapshotTable:
         keep the bytes but every read projects it away."""
         if name == self.key_col or name in self._INTERNAL_COLS:
             raise ValueError(f"cannot drop {name!r}")
+        cols = self._current_columns()
+        if cols is not None and name not in cols:
+            raise ValueError(f"no column {name!r} to drop")
         return self._record_evolution({"op": "drop", "name": name})
 
     def widen_column(self, name: str, dtype: str) -> int:
@@ -147,15 +209,33 @@ class SnapshotTable:
         snapshots on read so the union is type-consistent)."""
         if name == self.key_col or name in self._INTERNAL_COLS:
             raise ValueError(f"cannot widen {name!r}")
+        # only Iceberg-legal promotions: a narrowing "widen" would
+        # silently corrupt historical values under Spark cast
+        _WIDENINGS = {"long": {"tinyint", "smallint", "int"},
+                      "bigint": {"tinyint", "smallint", "int"},
+                      "int": {"tinyint", "smallint"},
+                      "double": {"float"}}
+        if dtype not in _WIDENINGS:
+            raise ValueError(f"{dtype!r} is not a widening target "
+                             f"(int->long, float->double)")
+        cols = self._current_columns()
+        if cols is not None:
+            if name not in cols:
+                raise ValueError(f"no column {name!r} to widen")
+            src = cols[name]
+            if src not in _WIDENINGS[dtype] and src != dtype:
+                raise ValueError(
+                    f"cannot widen {name!r} from {src} to {dtype}")
         return self._record_evolution(
             {"op": "widen", "name": name, "type": dtype})
 
-    def _apply_evolution(self, df: DataFrame, from_version: int
-                         ) -> DataFrame:
+    def _apply_evolution(self, df: DataFrame, from_version: int,
+                         ops: list[dict]) -> DataFrame:
         """Transform a snapshot's frame from the schema it was written
-        under to the current schema (ops recorded after it)."""
+        under to the current schema (ops recorded after it). ``ops``
+        is passed in so a multi-snapshot read loads the log ONCE."""
         from pyspark.sql import functions as F
-        for op in self._evolution():
+        for op in ops:
             if op["version"] <= from_version:
                 continue
             kind = op["op"]
@@ -286,7 +366,8 @@ class SnapshotTable:
         snaps = self.live_snapshots(version)
         if not snaps:
             return None
-        if not self.buckets and not self._evolution():
+        ops = self._evolution()  # loaded ONCE per read
+        if not self.buckets and not ops:
             # fast path: one multi-path scan. mergeSchema covers the
             # implicit (pre-declared) additive case — columns missing
             # from older snapshots read as NULL, Iceberg semantics
@@ -301,7 +382,7 @@ class SnapshotTable:
             if self.buckets:
                 reader = reader.option("basePath", p)
             part = self._apply_evolution(reader.parquet(p),
-                                         s.get("schema_version", 0))
+                                         s.get("schema_version", 0), ops)
             df = part if df is None else df.unionByName(
                 part, allowMissingColumns=True)
         return df
@@ -311,6 +392,7 @@ class SnapshotTable:
         """Minimal-scan frame for one key: bucket-dir pruning with a
         bucketed layout, manifest-stats file pruning otherwise, full
         read as the last resort. Returns None for an empty prune."""
+        ops = self._evolution()  # loaded ONCE per lookup
         if self.buckets:
             b = _hash60_py(key) % self.buckets
             found = [(s, os.path.join(self.root, s["path"], f"_bucket={b}"))
@@ -318,26 +400,40 @@ class SnapshotTable:
             found = [(s, p) for s, p in found if os.path.exists(p)]
             if not found:
                 return None
-            # mergeSchema: after implicit additive evolution a single
-            # arbitrary footer would drop the newer columns; declared
-            # evolution ops additionally transform per snapshot
+            if not ops:
+                # no declared evolution: keep the single multi-path
+                # scan on the B1 hot path (mergeSchema covers the
+                # implicit additive case)
+                return spark.read.option("mergeSchema", "true") \
+                    .parquet(*[p for _s, p in found])
             df = None
             for s, p in found:
                 part = self._apply_evolution(
                     spark.read.option("mergeSchema", "true").parquet(p),
-                    s.get("schema_version", 0))
+                    s.get("schema_version", 0), ops)
                 df = part if df is None else df.unionByName(
                     part, allowMissingColumns=True)
             return df
-        if not self._evolution():
-            files = self.prune_files(key_eq=key)
-            if files is not None:
-                if not files:
-                    return None
+        groups = self._prune_by_snapshot(key_eq=key)
+        if groups is not None:
+            if not groups:
+                return None
+            if not ops:
+                files = [f for _s, fs in groups for f in fs]
                 return spark.read.option("mergeSchema", "true") \
                     .parquet(*files)
-        # declared evolution: prune_files loses snapshot identity (the
-        # transforms are per-snapshot), so fall back to the full read
+            # declared evolution: per-snapshot pruned reads so each
+            # group transforms from ITS schema version — manifest-stats
+            # pruning (B11) is retained under evolution
+            df = None
+            for snap, files in groups:
+                part = self._apply_evolution(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*files),
+                    snap.get("schema_version", 0), ops)
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True)
+            return df
         return self.read(spark)
 
     def point_lookup(self, spark: SparkSession, key: str) -> DataFrame:
@@ -484,17 +580,23 @@ class SnapshotTable:
         return self.commit(victims)
 
     # ------------------------------------------------------ maintenance --
-    def prune_files(self, key_eq=None, key_min=None, key_max=None
-                    ) -> list[str] | None:
-        """Manifest-stats file pruning: data files whose ``key_col``
-        [min,max] range can contain the predicate. Returns None when any
-        live file lacks stats (caller falls back to a full scan)."""
-        files: list[str] = []
+    def _prune_by_snapshot(self, key_eq=None, key_min=None, key_max=None
+                           ) -> list[tuple[dict, list[str]]] | None:
+        """Manifest-stats file pruning, grouped by snapshot (so the
+        caller can apply per-snapshot schema-evolution transforms):
+        data files whose ``key_col`` [min,max] range can contain the
+        predicate. Returns None when any live file lacks stats (caller
+        falls back to a full scan); snapshots with zero surviving files
+        are omitted."""
+        groups: list[tuple[dict, list[str]]] = []
         for s in self.live_snapshots():
             entries = s.get("files")
             if not entries:
                 return None
+            files: list[str] = []
             for e in entries:
+                if e.get("rows") == 0:
+                    continue  # empty part file: prunes trivially
                 if "key_min" not in e:
                     return None
                 if key_eq is not None and not (
@@ -505,7 +607,17 @@ class SnapshotTable:
                 if key_max is not None and e["key_min"] > key_max:
                     continue
                 files.append(os.path.join(self.root, e["path"]))
-        return files
+            if files:
+                groups.append((s, files))
+        return groups
+
+    def prune_files(self, key_eq=None, key_min=None, key_max=None
+                    ) -> list[str] | None:
+        """Flat view of ``_prune_by_snapshot`` (public API)."""
+        groups = self._prune_by_snapshot(key_eq, key_min, key_max)
+        if groups is None:
+            return None
+        return [f for _s, fs in groups for f in fs]
 
     def compact(self, spark: SparkSession,
                 target_file_mb: int = 128, mode: str = "current",

@@ -207,9 +207,17 @@ def test_v4_length_only_in_crypt_filter():
     /CF/StdCF/Length (bytes). Such files must still open."""
     plain = make_pdf(TEXTS)
     enc = encrypt_pdf(plain, "aes-128")
-    stripped = enc.replace(b"/Length 128 ", b"", 1)
+    # anchor the strip inside the /Encrypt dict: an earlier content
+    # stream could legitimately carry "/Length 128" too
+    i = enc.find(b"/Filter /Standard")
+    assert i > 0
+    stripped = enc[:i] + enc[i:].replace(b"/Length 128 ", b"", 1)
     assert stripped != enc and b"/Length 16" in stripped  # CF Length stays
     assert extract_pdf(stripped)["text"] == extract_pdf(plain)["text"]
+    # bits-declared CF Length (spec-ambiguous writers): 128 > 16 bytes
+    bits = enc[:i] + enc[i:].replace(b"/Length 128 ", b"", 1) \
+        .replace(b"/CFM /AESV2 /Length 16", b"/CFM /AESV2 /Length 128", 1)
+    assert extract_pdf(bits)["text"] == extract_pdf(plain)["text"]
 
 
 def test_unsigned_p_still_authenticates():

@@ -147,3 +147,42 @@ def test_versions_survive_evolution(spark, tmp_path):
     hist = t.read_versions(spark, key="a").orderBy("_version").collect()
     assert [(r["_version"], r["q"]) for r in hist] == [(1, 1), (2, 2)]
     assert t.version_lookup(spark, "a", 1).first()["q"] == 1
+
+
+def test_invalid_evolution_ops_rejected_at_alter_time(spark, tmp_path):
+    """Iceberg rejects bad ALTERs up front; an accepted bad op would
+    poison the append-only log and break every read (review finding)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_mkdf(spark, [{"url": "a", "a": 1, "b": 2}]))
+    with pytest.raises(ValueError):  # rename onto an existing column
+        t.rename_column("a", "b")
+    with pytest.raises(ValueError):  # rename of a nonexistent column
+        t.rename_column("zzz", "q")
+    with pytest.raises(ValueError):  # drop of a nonexistent column
+        t.drop_column("zzz")
+    with pytest.raises(ValueError):  # add of an existing column
+        t.add_column("a", "long")
+    with pytest.raises(ValueError):  # narrowing "widen"
+        t.widen_column("a", "float")
+    with pytest.raises(ValueError):  # widen of a string column
+        t.commit(_mkdf(spark, [{"url": "b", "a": 1, "b": 2}]))
+        t.widen_column("url2" if False else "b", "double")
+    # a legal chain after the rejections still works
+    t.rename_column("a", "c")
+    assert t.read_current(spark).filter("url='a'").first()["c"] == 1
+
+
+def test_point_lookup_still_prunes_under_evolution(spark, tmp_path):
+    """Manifest-stats pruning must survive declared evolution ops
+    (per-snapshot pruned reads, review finding)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_mkdf(spark, [{"url": f"a{i}", "s": i} for i in range(4)]))
+    t.rename_column("s", "q")
+    t.commit(_mkdf(spark, [{"url": f"z{i}", "q": 100 + i}
+                           for i in range(4)]))
+    groups = t._prune_by_snapshot(key_eq="z1")
+    assert groups is not None
+    # the first snapshot (keys a0..a3) is pruned away entirely
+    assert [g[0]["id"] for g in groups] == [2]
+    assert t.point_lookup(spark, "z1").first()["q"] == 101
+    assert t.point_lookup(spark, "a2").first()["q"] == 2
