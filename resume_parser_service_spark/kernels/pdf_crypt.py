@@ -523,7 +523,8 @@ def _walk_encrypt_strings(obj, handler, num):
 
 
 def encrypt_pdf(data: bytes, mode: str = "rc4-128",
-                user_pw: bytes = b"", owner_pw: bytes = b"owner") -> bytes:
+                user_pw: bytes = b"", owner_pw: bytes = b"owner",
+                exempt_streams: bool = False) -> bytes:
     """Re-serialize a PDF with standard-handler encryption applied.
 
     Fully deterministic: /ID, the R6 file key, and every AES IV derive
@@ -531,6 +532,10 @@ def encrypt_pdf(data: bytes, mode: str = "rc4-128",
     members of modern inputs are lifted to top-level objects (their
     container ObjStm/XRef streams are dropped — the rewritten file
     carries the same logical objects).
+
+    ``exempt_streams``: leave every stream PLAINTEXT and mark it with
+    a /Crypt /Identity filter entry (spec 7.4.10 exemption — the shape
+    writers use for unencrypted metadata); strings stay encrypted.
     """
     if mode not in MODES:
         raise CryptError(f"unknown mode {mode!r}")
@@ -615,7 +620,19 @@ def encrypt_pdf(data: bytes, mode: str = "rc4-128",
             if typ in ("ObjStm", "XRef"):
                 continue
             d = dict(obj.dict)
-            raw = handler.encrypt_stream(obj.raw, num, 0)
+            if exempt_streams:
+                raw = obj.raw
+                filters = doc.filter_list(obj)
+                parms = doc.resolve(d.get("DecodeParms"))
+                if not isinstance(parms, list):
+                    parms = [parms] * len(filters)
+                d["Filter"] = [pt._Name("Crypt")] + \
+                    [pt._Name(str(f)) for f in filters]
+                d["DecodeParms"] = [
+                    {"Type": pt._Name("CryptFilterDecodeParms"),
+                     "Name": pt._Name("Identity")}] + parms
+            else:
+                raw = handler.encrypt_stream(obj.raw, num, 0)
             d["Length"] = len(raw)
             d = _walk_encrypt_strings(d, handler, num)
             body = (_ser_obj(d, pt) + b"\nstream\n" + raw

@@ -321,8 +321,30 @@ class _Document:
         if isinstance(obj, _Stream):
             d = {k: self._decrypt_obj(v, num, gen)
                  for k, v in obj.dict.items()}
-            return _Stream(d, self._crypt.decrypt_stream(obj.raw, num, gen))
+            raw = obj.raw
+            if self._stream_crypt_name(obj) != "Identity":
+                raw = self._crypt.decrypt_stream(raw, num, gen)
+            return _Stream(d, raw)
         return obj
+
+    @staticmethod
+    def _stream_crypt_name(stream: _Stream) -> str | None:
+        """Name of the stream's /Crypt filter (spec 7.4.10), or None
+        when the default /StmF applies. /Identity exempts the stream
+        from decryption; a NAMED crypt filter falls back to the
+        default method (single-filter documents in practice)."""
+        filters = stream.dict.get("Filter")
+        if isinstance(filters, _Name):
+            filters = [filters]
+        if not isinstance(filters, list) or "Crypt" not in filters:
+            return None
+        idx = filters.index("Crypt")
+        parms = stream.dict.get("DecodeParms")
+        if isinstance(parms, list):
+            parms = parms[idx] if idx < len(parms) else None
+        if isinstance(parms, dict):
+            return str(parms.get("Name", "Identity"))
+        return "Identity"
 
     # -- xref chain (classic tables and PDF 1.5+ xref streams)
     def _load_xref(self):
@@ -591,6 +613,12 @@ class _Document:
                         int(self.resolve(parms.get("Columns")) or 1),
                         int(self.resolve(parms.get("Colors")) or 1),
                         int(self.resolve(parms.get("BitsPerComponent")) or 8))
+            elif f == "Crypt":
+                # spec 7.4.10: the Crypt filter names which crypt
+                # filter (often /Identity = none) applied to this
+                # stream — decryption/exemption is resolved at the
+                # object layer (_decrypt_obj); here it is a no-op
+                continue
             else:
                 return None  # DCTDecode etc. — no text content
         return data

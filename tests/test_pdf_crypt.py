@@ -228,3 +228,19 @@ def test_unsigned_p_still_authenticates():
     unsigned = enc.replace(b"/P -3904", b"/P 4294963392")  # 2**32 - 3904
     assert unsigned != enc
     assert extract_pdf(unsigned)["text"] == extract_pdf(plain)["text"]
+
+
+def test_crypt_identity_exempt_streams():
+    """Spec 7.4.10: a /Crypt /Identity filter entry exempts a stream
+    from decryption. The encryptor's exempt_streams mode emits that
+    shape (plaintext streams, encrypted strings); extraction must not
+    double-decrypt the exempt streams nor drop them as an unsupported
+    filter."""
+    plain = make_pdf(TEXTS, links=["https://e.example/x"])
+    want = extract_pdf(plain)
+    for mode in sorted(MODES):
+        enc = encrypt_pdf(plain, mode, exempt_streams=True)
+        assert b"/Crypt" in enc
+        got = extract_pdf(enc)
+        assert got["text"] == want["text"]
+        assert got["links"] == want["links"]
