@@ -14,7 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from resume_parser_service_spark.operators.catalog import (build_catalog,
+from resume_parser_service_spark.operators.catalog import (PAST_50,
+                                                           build_catalog,
                                                            register_views)
 from resume_parser_service_spark.operators.extract_queries import (
     extension_oracles, extension_queries, extract_oracles, extract_queries)
@@ -56,8 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(extract_queries())
     out.update(udf_queries())
     out.update(cluster_queries())
-    out.update({name: fn for name, (fn, _oracle) in build_catalog().items()})
-    out.update(extension_queries())  # past the 50-window, by design
+    cat = build_catalog()
+    out.update({name: fn for name, (fn, _oracle) in cat.items()
+                if name not in PAST_50})
+    out.update(extension_queries())  # oracle-paired r4 codec queries
+    out.update({name: fn for name, (fn, _oracle) in cat.items()
+                if name in PAST_50})  # past the 50-window, by design
     return out
 
 

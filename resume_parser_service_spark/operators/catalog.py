@@ -38,6 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Catalog entries past the driver's first-50 correctness window (see
+# the rotation note inside build_catalog): __spark_entry__ registers
+# these AFTER the extension codec queries so every oracle-paired
+# operator added in r4 lands inside the window.
+PAST_50 = ("cube_event_counts", "distinct_langs", "paginated_scan",
+           "filtered_count", "topk_largest_docs", "string_funcs",
+           "math_funcs")
+
 _REGISTERED: dict[int, str] = {}  # id(spark) -> sf_dir registered
 
 
@@ -469,11 +477,6 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY s.s_name, n.n_name
 ORDER BY total_qty DESC, s_name LIMIT 25""")
 
-    # --- sort / limit / top-k ---
-    c["topk_largest_docs"] = _sql("""
-SELECT doc_id, source, n_chars FROM documents
-ORDER BY n_chars DESC, doc_id LIMIT 10""")
-
     # --- window functions ---
     c["window_rank_per_source"] = _sql("""
 SELECT source, doc_id, n_chars, rk FROM (
@@ -567,16 +570,6 @@ FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 ORDER BY lang NULLS FIRST, source NULLS FIRST""")
 
-    # --- string functions incl. regexp (A7' mapper building blocks) ---
-    c["string_funcs"] = _sql("""
-SELECT doc_id,
-       length(text) AS text_len,
-       upper(substring(text, 1, 8)) AS head_upper,
-       trim(concat_ws('|', lang, source)) AS lang_source,
-       replace(substring(text, 1, 20), ' ', '_') AS head_snake,
-       regexp_extract(text, '([a-z]+)', 1) AS first_word
-FROM documents ORDER BY doc_id""")
-
     # --- date/time functions (date_trunc day + hour bucketing) ---
     c["date_funcs"] = _sql("""
 SELECT cast(cast(date_trunc('day', ts) as date) as string) AS day,
@@ -585,14 +578,6 @@ SELECT cast(cast(date_trunc('day', ts) as date) as string) AS day,
 FROM events
 GROUP BY cast(cast(date_trunc('day', ts) as date) as string), hour(ts)
 ORDER BY day, hr""")
-
-    # --- math functions ---
-    c["math_funcs"] = _sql("""
-SELECT o_orderkey,
-       round(o_totalprice, 1) AS rounded_price,
-       round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
-       mod(o_orderkey, 7) AS key_mod
-FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
 
     # --- array functions: size/distinct + higher-order filter/transform ---
     c["array_funcs"] = _sql("""
@@ -748,7 +733,7 @@ ORDER BY keeper_doc_id""")
                                 duck_sql=_lsh_bucket_sql("duck"))
 
     # int8 embedding quantization (faiss-SQ8 recipe, zero-shuffle map).
-    # (Replaced paginated_scan, subsumed by topk_largest_docs's
+    # (Replaced paginated_scan, subsumed by shipping_priority's
     # sort+limit and scan_filter_project's pushdown row.)
     def _run_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .quantize import quantize_sql
@@ -834,12 +819,19 @@ ORDER BY doc_id"""
                                 SPLIT="string_split(text, ' ')"))
 
     # ---------------------------------------------------------------
-    # Past the driver's first-50 window (r4 rotation): still part of
+    # Past the driver's first-50 window (r4 rotations): still part of
     # the public catalog and pytest-parity-checked, but their driver
     # slots went to quantize_int8 / unigram_logprob / repeated_spans;
     # cube_event_counts' slot went to rasterize_pages (A3) — the
     # grouping-sets machinery it exercises stays driver-covered by
-    # rollup_metrics (GROUPING SETS superset).
+    # rollup_metrics (GROUPING SETS superset). The second r4 rotation
+    # demoted topk_largest_docs (sort+limit subsumed by
+    # shipping_priority / supplier_lineitem_volume), string_funcs
+    # (regexp/substr/concat exercised by lang_id_heuristic /
+    # quality_score / pii in-window), and math_funcs (round/sqrt/mod
+    # arithmetic exercised by pricing_summary / embed_checksum /
+    # quantize_int8) to make room for the oracle-paired codec queries
+    # pdf_image_metadata / mp3_metadata / h264_metadata.
     # ---------------------------------------------------------------
     c["cube_event_counts"] = _sql("""
 SELECT event_type,
@@ -862,5 +854,28 @@ ORDER BY doc_id LIMIT 50 OFFSET 100""")
 SELECT lang, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources
 FROM documents WHERE n_chars > 100 GROUP BY lang ORDER BY lang""")
+
+    # sort / limit / top-k
+    c["topk_largest_docs"] = _sql("""
+SELECT doc_id, source, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10""")
+
+    # string functions incl. regexp (A7' mapper building blocks)
+    c["string_funcs"] = _sql("""
+SELECT doc_id,
+       length(text) AS text_len,
+       upper(substring(text, 1, 8)) AS head_upper,
+       trim(concat_ws('|', lang, source)) AS lang_source,
+       replace(substring(text, 1, 20), ' ', '_') AS head_snake,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word
+FROM documents ORDER BY doc_id""")
+
+    # math functions
+    c["math_funcs"] = _sql("""
+SELECT o_orderkey,
+       round(o_totalprice, 1) AS rounded_price,
+       round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
+       mod(o_orderkey, 7) AS key_mod
+FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
 
     return c
