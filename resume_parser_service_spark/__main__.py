@@ -47,12 +47,48 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--enrich", action="store_true")
     p.add_argument("--neardup-index", action="store_true")
     p.add_argument("--canonical-urls", action="store_true")
+    p.add_argument("--changes-since", type=int, default=None,
+                   help="CDC mode: emit rows committed to "
+                        "<output>/resumes_extracted after this snapshot "
+                        "instead of running extraction")
+    p.add_argument("--changes-to", type=int, default=None)
+    p.add_argument("--classify-updates", action="store_true")
+    p.add_argument("--delta-out", default=None,
+                   help="with --changes-since: write the delta rows "
+                        "to this parquet path")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
     from .session import get_spark
     spark = get_spark(app_name="resume-parser-service-spark",
                       cores=args.cores)
+
+    if args.changes_since is not None:
+        import os
+        from pyspark.sql import functions as F
+        from .pipeline.writer import SnapshotTable
+        tbl = SnapshotTable(os.path.join(args.output, "resumes_extracted"))
+        delta = tbl.read_changes(spark, args.changes_since,
+                                 to_version=args.changes_to,
+                                 classify_updates=args.classify_updates)
+        counts: dict[str, int] = {}
+        if delta is not None:
+            if args.delta_out:
+                delta.write.mode("overwrite").parquet(args.delta_out)
+                delta = spark.read.parquet(args.delta_out)
+            counts = {r["_change_type"]: r["n"] for r in
+                      delta.groupBy("_change_type")
+                      .agg(F.count("*").alias("n")).collect()}
+        last = tbl.last_snapshot()
+        print(json.dumps({
+            "mode": "changes",
+            "from_version": args.changes_since,
+            "to_version": args.changes_to or (last["id"] if last else None),
+            "inserts": counts.get("insert", 0),
+            "updates": counts.get("update_after", 0),
+            "deletes": counts.get("delete", 0),
+            "delta_out": args.delta_out}))
+        return 0
 
     if args.synthesize:
         from .sources.pages import build_pages_df

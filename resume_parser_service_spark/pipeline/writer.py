@@ -294,6 +294,10 @@ class SnapshotTable:
         if replaces:
             manifest["replaces"] = sorted(replaces)
             manifest["compaction"] = True
+            # read_changes needs to know whether the rewrite kept the
+            # original row stamps (safe to read a delta across) or
+            # re-stamped everything (history collapsed — refuse)
+            manifest["preserved_ids"] = bool(preserve_snapshot_ids)
         tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -363,7 +367,13 @@ class SnapshotTable:
         """Union of snapshots up to ``version`` (time travel, read with
         the CURRENT schema after evolution). Compacted snapshots are
         read via their compaction; expired ones raise."""
-        snaps = self.live_snapshots(version)
+        return self._read_snaps(spark, self.live_snapshots(version))
+
+    def _read_snaps(self, spark: SparkSession, snaps: list[dict]
+                    ) -> DataFrame | None:
+        """Union an explicit snapshot list (current-schema transform
+        applied per snapshot) — the scan body of ``read``, also used by
+        ``read_changes`` to touch only the in-range snapshots."""
         if not snaps:
             return None
         ops = self._evolution()  # loaded ONCE per read
@@ -518,6 +528,83 @@ class SnapshotTable:
         if hist is None:
             return spark.createDataFrame([], f"{self.key_col} string")
         return hist.filter(F.col("_version") == version)
+
+    def read_changes(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None,
+                     classify_updates: bool = False) -> DataFrame | None:
+        """Incremental changelog read (Iceberg incremental scan / CDC
+        semantics): every row committed AFTER snapshot ``from_version``
+        and at-or-before ``to_version`` (default: latest), stamped with
+        ``_change_type`` ('insert' | 'delete' | 'update_after') and
+        ``_commit_version``. This is the nightly-batch primitive at
+        10^12-row scale: downstream consumers (embedding index refresh,
+        incremental near-dup banding, corpus re-export) process only the
+        delta instead of rescanning the table.
+
+        Scan shape: only snapshots with id > ``from_version`` are read
+        (manifest-level pruning — the pre-checkpoint bulk is never
+        touched). Compactions that preserved original ``_snapshot_id``
+        stamps (``mode='append'``, ``keep_versions>1``) are safe to
+        read a delta across — the residual pre-range rows they carry
+        are dropped by the stamp filter; a default (re-stamping)
+        compaction collapses history, so a range crossing one raises
+        instead of reporting the whole table as freshly inserted —
+        Iceberg's incremental-read-across-an-overwrite error. Caveat
+        (same as Iceberg expire/rewrite): a stamp-preserving compaction
+        may still have dropped superseded intermediate versions — the
+        changelog serves surviving rows.
+
+        ``classify_updates=True`` relabels inserts whose key was live at
+        ``from_version`` as 'update_after' (replace-on-key tables). It
+        costs one keys-only pass over the ``from_version`` state, with
+        the (small) changed-key set broadcast — opt-in.
+        """
+        from pyspark.sql import functions as F
+        if from_version < 0:
+            raise ValueError("from_version must be >= 0")
+        if to_version is not None and to_version < from_version:
+            raise ValueError(
+                f"to_version {to_version} < from_version {from_version}")
+        snaps = [s for s in self.live_snapshots(to_version)
+                 if s["id"] > from_version]
+        for s in snaps:
+            if (s.get("replaces") and not s.get("preserved_ids")
+                    and any(r <= from_version for r in s["replaces"])):
+                raise ValueError(
+                    f"cannot read changes since {from_version}: snapshot "
+                    f"{s['id']} is a re-stamping compaction of "
+                    f"{s['replaces']} — row history before it is "
+                    f"collapsed (compact with mode='append' or "
+                    f"keep_versions>1 to keep the changelog readable)")
+        df = self._read_snaps(spark, snaps)
+        if df is None:
+            return None
+        changes = (df.filter(F.col("_snapshot_id") > F.lit(from_version))
+                   .withColumn("_change_type",
+                               F.when(F.col("_deleted"), F.lit("delete"))
+                               .otherwise(F.lit("insert")))
+                   .withColumnRenamed("_snapshot_id", "_commit_version")
+                   .drop("_deleted"))
+        if classify_updates:
+            old = self.read_current(spark, version=from_version)
+            if old is not None:
+                changed_keys = changes.select(self.key_col).distinct()
+                # both joins stream the large side once against a
+                # broadcast of the (small) changed-key set
+                hit = (old.select(self.key_col)
+                       .join(F.broadcast(changed_keys), self.key_col,
+                             "left_semi")
+                       .withColumn("_was_live", F.lit(True)))
+                changes = (changes
+                           .join(F.broadcast(hit), self.key_col, "left")
+                           .withColumn(
+                               "_change_type",
+                               F.when((F.col("_change_type") == "insert") &
+                                      F.col("_was_live").isNotNull(),
+                                      F.lit("update_after"))
+                               .otherwise(F.col("_change_type")))
+                           .drop("_was_live"))
+        return changes
 
     def merge_upsert(self, spark: SparkSession, new_df: DataFrame,
                      compare_exclude: tuple = ("vector", "_snapshot_id",

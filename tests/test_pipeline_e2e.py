@@ -127,6 +127,22 @@ def test_time_travel_read(spark, corpus):
     assert latest > v1  # snapshot 2 appended the incremental docs
 
 
+def test_changelog_serves_incremental_batch_only(spark, corpus):
+    """CDC consumption of the extraction table: a downstream consumer
+    checkpointed at snapshot 1 reads exactly the rows the incremental
+    resume committed as snapshot 2 — never the pre-checkpoint bulk."""
+    tbl = SnapshotTable(str(corpus["root"] / "out/resumes_extracted"))
+    v1 = tbl.read(spark, version=1).count()
+    latest = tbl.read(spark).count()
+    delta = tbl.read_changes(spark, 1)
+    rows = delta.collect()
+    assert len(rows) == latest - v1
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r["_commit_version"] for r in rows} == {2}
+    # delta rows carry the full extraction payload
+    assert all(r["text"] is not None for r in rows)
+
+
 def test_validate_extracted_flags(spark):
     """A9 residual validation: zip_code length, email/URL shape
     (/root/reference/app/schemas/resume.py:13,16-18) as JVM-side
