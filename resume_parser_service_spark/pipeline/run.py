@@ -185,7 +185,9 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
         compacted = None
         if compact_after is not None:
             if len(extracted_tbl.live_snapshots()) >= compact_after:
-                compacted = extracted_tbl.compact(spark)
+                # sorted rewrite: keeps the manifest min/max stats
+                # prunable for url point lookups after the compaction
+                compacted = extracted_tbl.compact(spark, sort=True)
                 extracted_tbl.expire_snapshots()
             # the audit log and band index also land one snapshot per
             # batch, and every resume_filter / index read re-lists and

@@ -707,8 +707,8 @@ class SnapshotTable:
         return [f for _s, fs in groups for f in fs]
 
     def compact(self, spark: SparkSession,
-                target_file_mb: int = 128, mode: str = "current",
-                keep_versions: int = 1) -> dict:
+                target_file_mb: float = 128, mode: str = "current",
+                keep_versions: int = 1, sort: bool = False) -> dict:
         """Bin-pack compaction (Iceberg ``rewrite_data_files`` +
         dangling-delete removal): rewrite the table as ONE new snapshot
         sized to ``target_file_mb`` files, which replaces every prior
@@ -723,7 +723,16 @@ class SnapshotTable:
         rows verbatim — for append-only tables holding several rows per
         key (the audit log, the near-dup band index), where
         latest-per-key resolution would silently drop rows; tombstoned
-        keys still disappear entirely."""
+        keys still disappear entirely.
+
+        ``sort=True``: range-repartition + sort by the key column
+        (Iceberg ``rewrite_data_files`` with a sort strategy) — each
+        output file then holds a tight, disjoint key range, so the
+        manifest min/max stats prune a point lookup to ONE file. An
+        unsorted compaction hash-mixes keys, leaving every file's
+        [min,max] spanning the whole key space and the stats useless —
+        at 100 TB the sorted rewrite is what keeps key-scoped reads
+        from becoming full scans on unbucketed tables."""
         from pyspark.sql import functions as F
         snaps = self.live_snapshots()
         if not snaps:
@@ -758,8 +767,15 @@ class SnapshotTable:
             cur = self.read_current(spark)
         total_bytes = sum(e.get("bytes", 0) for s in snaps
                           for e in (s.get("files") or []))
-        n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
-        snap = self.commit(cur, partitions=n_files,
+        target_bytes = max(1, int(target_file_mb * (1 << 20)))
+        n_files = max(1, -(-total_bytes // target_bytes))
+        if sort:
+            # pre-shape instead of commit's hash repartition: range
+            # partitioning gives disjoint per-file key ranges, the
+            # within-partition sort gives tight min/max footers
+            cur = (cur.repartitionByRange(n_files, self.key_col)
+                   .sortWithinPartitions(self.key_col))
+        snap = self.commit(cur, partitions=None if sort else n_files,
                           replaces=[s["id"] for s in snaps],
                           preserve_snapshot_ids=preserve_ids)
         return {"compacted": len(snaps), "snapshot_id": snap,

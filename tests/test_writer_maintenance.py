@@ -311,3 +311,39 @@ def test_append_compact_keeps_rows_reinserted_after_delete(spark, tmp_path):
     assert ("u1", "a") not in after       # the deleted row is gone
     assert after == {("u1", "a2"), ("u2", "b")}
     assert before >= after                # nothing invented
+
+
+def test_sorted_compaction_prunes_point_lookup_to_one_file(spark, tmp_path):
+    """compact(sort=True) range-partitions by key (Iceberg rewrite with
+    a sort strategy): output files hold disjoint key ranges, so the
+    manifest min/max stats prune a point lookup to exactly one file —
+    an unsorted compaction hash-mixes keys and every file's range spans
+    the key space, pruning nothing."""
+    def _load(root, sort):
+        tbl = SnapshotTable(str(tmp_path / root))
+        # interleaved keys across two snapshots so pre-compaction
+        # files overlap too
+        tbl.commit(_df(spark, [(f"u{i:03d}", "x" * 200, [1.0])
+                               for i in range(0, 200, 2)]))
+        tbl.commit(_df(spark, [(f"u{i:03d}", "y" * 200, [2.0])
+                               for i in range(1, 200, 2)]))
+        res = tbl.compact(spark, target_file_mb=0.005, sort=sort)
+        tbl.expire_snapshots()
+        return tbl, res
+
+    tbl_s, res_s = _load("sorted", sort=True)
+    files_s = [e for s in tbl_s.live_snapshots()
+               for e in s["files"] if e.get("rows")]
+    assert len(files_s) >= 3  # the tiny target forced a real split
+    pruned = tbl_s.prune_files(key_eq="u101")
+    assert pruned is not None and len(pruned) == 1
+    # correctness unchanged by the rewrite
+    row = tbl_s.point_lookup(spark, "u101").collect()
+    assert len(row) == 1 and row[0]["text"] == "y" * 200
+
+    tbl_u, _res = _load("unsorted", sort=False)
+    files_u = [e for s in tbl_u.live_snapshots()
+               for e in s["files"] if e.get("rows")]
+    assert len(files_u) >= 3
+    # hash-mixed files: the same lookup cannot prune below all files
+    assert len(tbl_u.prune_files(key_eq="u101")) == len(files_u)
