@@ -83,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "mode": "changes",
             "from_version": args.changes_since,
-            "to_version": args.changes_to or (last["id"] if last else None),
+            "to_version": (args.changes_to if args.changes_to is not None
+                           else (last["id"] if last else None)),
             "inserts": counts.get("insert", 0),
             "updates": counts.get("update_after", 0),
             "deletes": counts.get("delete", 0),

@@ -185,9 +185,15 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
         compacted = None
         if compact_after is not None:
             if len(extracted_tbl.live_snapshots()) >= compact_after:
-                # sorted rewrite: keeps the manifest min/max stats
-                # prunable for url point lookups after the compaction
-                compacted = extracted_tbl.compact(spark, sort=True)
+                # sorted rewrite keeps the manifest min/max stats
+                # prunable for url point lookups; keep_versions=2
+                # preserves snapshot stamps + tombstones so CDC
+                # consumers (--changes-since) survive routine
+                # maintenance instead of hitting the re-stamping
+                # refusal — extraction rows are write-once per url, so
+                # the retained extra version is ~zero storage
+                compacted = extracted_tbl.compact(spark, sort=True,
+                                                  keep_versions=2)
                 extracted_tbl.expire_snapshots()
             # the audit log and band index also land one snapshot per
             # batch, and every resume_filter / index read re-lists and

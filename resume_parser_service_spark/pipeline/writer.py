@@ -295,8 +295,11 @@ class SnapshotTable:
             manifest["replaces"] = sorted(replaces)
             manifest["compaction"] = True
             # read_changes needs to know whether the rewrite kept the
-            # original row stamps (safe to read a delta across) or
-            # re-stamped everything (history collapsed — refuse)
+            # original row stamps and tombstones (safe to read a delta
+            # across — compact's preserve modes retain both) or
+            # re-stamped everything (history collapsed — refuse).
+            # Manifests from before this flag existed are conservatively
+            # refused (missing key reads as unsafe).
             manifest["preserved_ids"] = bool(preserve_snapshot_ids)
         tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -480,6 +483,19 @@ class SnapshotTable:
                .select(self.key_col, "_row.*"))
         return cur.filter(~F.col("_deleted")).drop("_deleted")
 
+    def _with_tombstones(self, live: DataFrame, full: DataFrame
+                         ) -> DataFrame:
+        """Carry delete tombstones through a stamp-preserving rewrite.
+        Dropping them would silently erase delete events from
+        ``read_changes`` — a CDC consumer checkpointed before the
+        compaction would never see the delete and diverge. Tombstones
+        are one row per deleted key; retaining them is noise-level
+        storage."""
+        from pyspark.sql import functions as F
+        live = live.withColumn("_deleted", F.lit(False))
+        tombs = full.filter(F.col("_deleted")).select(*live.columns)
+        return live.unionByName(tombs)
+
     def _live_rows(self, df: DataFrame) -> DataFrame:
         """Non-tombstoned rows still live under delete semantics: a
         delete only erases rows OLDER than the tombstone — rows
@@ -556,8 +572,13 @@ class SnapshotTable:
 
         ``classify_updates=True`` relabels inserts whose key was live at
         ``from_version`` as 'update_after' (replace-on-key tables). It
-        costs one keys-only pass over the ``from_version`` state, with
-        the (small) changed-key set broadcast — opt-in.
+        costs one pass over the surviving rows' (key, stamp, tombstone)
+        columns — pruned at the scan, semi-joined against a broadcast of
+        the (small) changed-key set before aggregating — opt-in. It
+        resolves liveness from surviving stamps, so it works after the
+        pre-compaction snapshots are expired; best-effort caveat: a
+        ``keep_versions`` compaction that dropped every pre-checkpoint
+        version of a key makes its rewrite classify as 'insert'.
         """
         from pyspark.sql import functions as F
         if from_version < 0:
@@ -584,26 +605,31 @@ class SnapshotTable:
                                F.when(F.col("_deleted"), F.lit("delete"))
                                .otherwise(F.lit("insert")))
                    .withColumnRenamed("_snapshot_id", "_commit_version")
-                   .drop("_deleted"))
+                   .drop("_deleted", "_bucket"))
         if classify_updates:
-            old = self.read_current(spark, version=from_version)
-            if old is not None:
-                changed_keys = changes.select(self.key_col).distinct()
-                # both joins stream the large side once against a
-                # broadcast of the (small) changed-key set
-                hit = (old.select(self.key_col)
-                       .join(F.broadcast(changed_keys), self.key_col,
-                             "left_semi")
-                       .withColumn("_was_live", F.lit(True)))
-                changes = (changes
-                           .join(F.broadcast(hit), self.key_col, "left")
-                           .withColumn(
-                               "_change_type",
-                               F.when((F.col("_change_type") == "insert") &
-                                      F.col("_was_live").isNotNull(),
-                                      F.lit("update_after"))
-                               .otherwise(F.col("_change_type")))
-                           .drop("_was_live"))
+            base = self.read(spark)  # live chain: never needs expired data
+            changed_keys = changes.select(self.key_col).distinct()
+            # keys-only liveness at from_version from surviving stamps:
+            # 3 columns through the shuffle, and only for changed keys
+            # (semi-join against the broadcast BEFORE aggregating)
+            hit = (base.select(self.key_col, "_snapshot_id", "_deleted")
+                   .filter(F.col("_snapshot_id") <= from_version)
+                   .join(F.broadcast(changed_keys), self.key_col,
+                         "left_semi")
+                   .groupBy(self.key_col)
+                   .agg(F.max_by("_deleted", "_snapshot_id").alias("_dead"))
+                   .filter(~F.col("_dead"))
+                   .select(self.key_col)
+                   .withColumn("_was_live", F.lit(True)))
+            changes = (changes
+                       .join(F.broadcast(hit), self.key_col, "left")
+                       .withColumn(
+                           "_change_type",
+                           F.when((F.col("_change_type") == "insert") &
+                                  F.col("_was_live").isNotNull(),
+                                  F.lit("update_after"))
+                           .otherwise(F.col("_change_type")))
+                       .drop("_was_live"))
         return changes
 
     def merge_upsert(self, spark: SparkSession, new_df: DataFrame,
@@ -750,18 +776,21 @@ class SnapshotTable:
             # PRESERVED: append tables hold many rows per key whose
             # relative snapshot order is meaningful (audit replay,
             # read_versions) and a re-stamp would collapse it.
-            cur = self._live_rows(self.read(spark))
+            full = self.read(spark)
+            cur = self._with_tombstones(self._live_rows(full), full)
             preserve_ids = True
         elif keep_versions > 1:
             # versioned retention (B12): keep the newest N versions per
             # key, preserving their ORIGINAL _snapshot_id stamps so
             # version order and read_current resolution survive
             from pyspark.sql.window import Window
-            live = self._live_rows(self.read(spark))
+            full = self.read(spark)
+            live = self._live_rows(full)
             w = Window.partitionBy(self.key_col) \
                 .orderBy(F.desc("_snapshot_id"))
             cur = (live.withColumn("_rk", F.row_number().over(w))
                    .filter(F.col("_rk") <= keep_versions).drop("_rk"))
+            cur = self._with_tombstones(cur, full)
             preserve_ids = True
         else:
             cur = self.read_current(spark)

@@ -145,4 +145,38 @@ def test_changes_bucketed_layout(spark, tmp_path):
     tbl = SnapshotTable(str(tmp_path / "t"), buckets=4)
     tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0])]))
     tbl.commit(_df(spark, [("u3", "c", [3.0])]))
-    assert _changes(tbl, spark, 1) == {("u3", 2): "insert"}
+    delta = tbl.read_changes(spark, 1)
+    assert "_bucket" not in delta.columns  # internal layout col stripped
+    assert {(r["url"], r["_commit_version"]): r["_change_type"]
+            for r in delta.collect()} == {("u3", 2): "insert"}
+
+
+def test_delete_event_survives_preserving_compaction(spark, tmp_path):
+    """Stamp-preserving compactions must carry tombstones forward: a
+    CDC consumer checkpointed before the rewrite still sees the delete
+    event (review finding: _live_rows-only rewrites silently dropped
+    tombstones from the changelog)."""
+    for mode, kw in (("append", {}), ("current", {"keep_versions": 2})):
+        tbl = SnapshotTable(str(tmp_path / mode))
+        tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0])]))
+        tbl.delete_keys(spark, ["u1"])
+        tbl.compact(spark, mode=mode, **kw)
+        tbl.expire_snapshots()
+        assert _changes(tbl, spark, 1) == {("u1", 2): "delete"}, mode
+        # table state semantics unchanged by the retained tombstone
+        assert [r["url"] for r in tbl.read_current(spark).collect()] == \
+            ["u2"], mode
+
+
+def test_classify_updates_after_compaction_and_expiry(spark, tmp_path):
+    """classify_updates resolves liveness from surviving stamps, so it
+    works after the pre-checkpoint snapshots are expired (review
+    finding: the old read_current(version=...) path raised a
+    time-travel error)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    tbl.commit(_df(spark, [("u1", "a2", [1.5]), ("u2", "b", [2.0])]))
+    tbl.compact(spark, mode="current", keep_versions=3)
+    tbl.expire_snapshots()
+    assert _changes(tbl, spark, 1, classify_updates=True) == {
+        ("u1", 2): "update_after", ("u2", 2): "insert"}
