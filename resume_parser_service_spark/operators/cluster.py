@@ -3,15 +3,16 @@ shared-shingle graph (iterative label propagation).
 
 The one operator class Spark's SQL surface genuinely lacks — an
 iterative fixpoint — implemented as a driver-side loop of DataFrame
-joins (each iteration is one shuffle; labels converge in O(graph
-diameter) rounds, with persist/unpersist between rounds so lineage
-stays bounded). Cluster id = min(doc_id) of the component, which is
-canonical, so a DuckDB recursive CTE can serve as the oracle.
+joins over the candidate-pair graph only (isolated docs never enter
+the loop), with pointer jumping so labels converge in O(log diameter)
+rounds, each round truncated by an eager localCheckpoint. Cluster
+id = min(doc_id) of the component, which is canonical, so a DuckDB
+recursive CTE can serve as the oracle.
 
-At 10^12-document scale the same loop runs with checkpointing every
-few rounds (lineage truncation) and large-star/small-star optimizations
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC 2014) — the round structure is identical.
+At 10^12-document scale the same loop runs with reliable
+checkpoint() (survives executor loss) and, for adversarial shapes,
+the large-star/small-star fallback below (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014).
 """
 
 from __future__ import annotations
@@ -48,7 +49,6 @@ FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
 
 
 MAX_ROUNDS = 20
-CHECKPOINT_EVERY = 5
 
 log = logging.getLogger(__name__)
 
@@ -62,36 +62,64 @@ def _ensure_checkpoint_dir(spark: SparkSession) -> None:
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
                       strict: bool = False) -> DataFrame:
-    """Label propagation to fixpoint. Every CHECKPOINT_EVERY rounds the
-    label frame is reliably checkpoint()ed — persist alone does not
-    truncate lineage, and 20 chained join/agg rounds otherwise build a
-    plan a real cluster pays for in planning and recovery time. Hitting
-    MAX_ROUNDS unconverged logs an error (or raises when strict) instead
-    of silently returning partial labels."""
+    """Label propagation with pointer jumping, to fixpoint.
+
+    Two structural choices make this the plan that survives 100 TB:
+
+    - The loop runs only over EDGE-TOUCHED docs. Isolated docs (the
+      overwhelming majority of a deduped web corpus) never enter the
+      iteration — they self-label in one final left join — so every
+      per-round shuffle is proportional to the candidate-pair graph,
+      not the corpus.
+    - Each round chases one neighbor hop AND one pointer hop
+      (``label <- min(min_neighbor_label, label(label))``), so labels
+      reach the component minimum in O(log diameter) rounds instead of
+      O(diameter) — shingle-chain components (measured diameter ~7 at
+      sf0.1; unbounded in a crawl) would otherwise cost one shuffle
+      per hop. Both hops only ever replace a label with a smaller
+      label from the same component, so the fixpoint is unchanged and
+      the monotone sum convergence check below stays valid.
+
+    Every round is truncated with an eager localCheckpoint — persist
+    alone does not truncate the logical plan, and the jump join
+    references the label frame twice, so an untruncated plan tree grows
+    exponentially (measured: the analyzer, not the executors, became
+    the bottleneck). On a real cluster swap localCheckpoint for
+    reliable checkpoint() to also survive executor loss. Hitting
+    MAX_ROUNDS unconverged logs an error (or raises when strict)
+    instead of silently returning partial labels."""
     register_views(spark, sf_dir)
     _ensure_checkpoint_dir(spark)
     edges = spark.sql(_edges_sql("spark"))
     docs = spark.table("documents").select("doc_id")
-    # Self-loops keep isolated docs in the propagation. The edge table
-    # is the BIG side and is static across rounds: pre-hash-partition it
-    # on the join key before persisting — InMemoryTableScan preserves
-    # outputPartitioning, so every round's join shuffles only the small
-    # mutable label frame, not the edges. No explicit partition count:
-    # a keyed repartition without one is AQE-coalescible, so the
-    # runtime sizes it to the edge volume (64-MB advisory targets at
-    # 100 TB, a handful of partitions on a small graph — measured ~20%
-    # off the per-round overhead at sf0.1) instead of paying a fixed
+    nodes = (edges.select(F.col("src").alias("doc_id"))
+             .unionByName(edges.select(F.col("dst").alias("doc_id")))
+             .distinct())
+    # Self-loops keep every participating node present as a src each
+    # round — without them min-propagation loses monotonicity (a node
+    # can lose its own minimum and oscillate; measured non-convergence).
+    # The edge table is the BIG side and is static across rounds:
+    # pre-hash-partition it on the join key before persisting —
+    # InMemoryTableScan preserves outputPartitioning, so every round's
+    # join shuffles only the small mutable label frame, not the edges.
+    # No explicit partition count: a keyed repartition without one is
+    # AQE-coalescible, so the runtime sizes it to the edge volume
+    # (64-MB advisory targets at 100 TB, a handful of partitions on a
+    # small graph) instead of paying a fixed
     # spark.sql.shuffle.partitions fan-out every round.
     sym = (edges.unionByName(
-               docs.select(F.col("doc_id").alias("src"),
-                           F.col("doc_id").alias("dst")))
+               edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+           .unionByName(
+               nodes.select(F.col("doc_id").alias("src"),
+                            F.col("doc_id").alias("dst")))
            .repartition("dst").persist())
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
-        .persist()
+    labels = (nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+              .localCheckpoint(eager=True))
 
     def label_sum(frame: DataFrame) -> int:
         # decimal(38,0): immune to bigint overflow at 10^12-scale ids;
-        # "or 0": SUM over an empty frame is NULL (empty corpus)
+        # "or 0": SUM over an empty frame is NULL (no candidate pairs)
         return int(frame.agg(F.sum(F.col("cluster_id")
                                    .cast("decimal(38,0)")))
                    .collect()[0][0] or 0)
@@ -99,18 +127,28 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     prev_sum = label_sum(labels)
     try:
         converged = False
-        for rnd in range(1, MAX_ROUNDS + 1):
-            new_labels = (sym.join(labels,
-                                   sym.dst == labels.doc_id)
-                          .groupBy(F.col("src").alias("doc_id"))
-                          .agg(F.min("cluster_id").alias("cluster_id")))
-            if rnd % CHECKPOINT_EVERY == 0:
-                new_labels = new_labels.checkpoint(eager=False)
-            new_labels = new_labels.persist()
-            # Convergence check without a labels-vs-labels join: under
-            # min-propagation labels only ever decrease, so an unchanged
-            # sum(cluster_id) IS the fixpoint. One cheap agg over the
-            # frame the round materializes anyway.
+        for _ in range(1, MAX_ROUNDS + 1):
+            neigh = (sym.join(labels, sym.dst == labels.doc_id)
+                     .groupBy(F.col("src").alias("doc_id"))
+                     .agg(F.min("cluster_id").alias("cluster_id")))
+            # pointer jump through the previous (already-truncated)
+            # label frame: label(label) — one extra join per round, no
+            # extra materialization
+            jump = labels.select(F.col("doc_id").alias("_pid"),
+                                 F.col("cluster_id").alias("_pcid"))
+            new_labels = (neigh.join(jump,
+                                     neigh.cluster_id == jump._pid,
+                                     "left")
+                          .select("doc_id",
+                                  F.coalesce(
+                                      F.least("_pcid", "cluster_id"),
+                                      F.col("cluster_id"))
+                                  .alias("cluster_id"))
+                          .localCheckpoint(eager=True))
+            # Convergence check without a labels-vs-labels join: labels
+            # only ever decrease, so an unchanged sum(cluster_id) IS
+            # the fixpoint. One cheap agg over the frame the round
+            # materializes anyway.
             new_sum = label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
@@ -120,17 +158,24 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
             prev_sum = new_sum
         if not converged:
             msg = (f"dedup_clusters: label propagation did not converge "
-                   f"in {MAX_ROUNDS} rounds (component diameter > rounds)")
+                   f"in {MAX_ROUNDS} rounds (component diameter > "
+                   f"2^rounds)")
             if strict:
                 raise RuntimeError(msg)
             # never return partial labels: fall back to large-star/
-            # small-star, which converges in O(log n) rounds regardless
-            # of diameter. The loop's abandoned label frame must not
-            # stay cached for the session.
+            # small-star, whose potential-function convergence proof
+            # doesn't lean on this loop's structure. The loop's
+            # abandoned label frame must not stay cached for the
+            # session.
             log.error("%s; falling back to large-star/small-star", msg)
             labels.unpersist()
             return connected_components_lsss(spark, edges, docs)
-        return labels.orderBy("doc_id")
+        # isolated docs (no candidate pair) self-label outside the loop
+        return (docs.join(labels, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster_id", "doc_id")
+                        .alias("cluster_id"))
+                .orderBy("doc_id"))
     finally:
         sym.unpersist()
 

@@ -1,9 +1,9 @@
 """Connected-components dedup clustering: convergence + guardrails.
 
-Min-label propagation moves a label one edge per round, so a planted
-chain of shared-shingle docs exercises the iteration depth directly;
-the checkpoint cadence and the non-convergence guard (VERDICT.md r1
-item 4) are covered here.
+Min-label propagation with pointer jumping moves a label ~2^round
+chain hops per round, so planted chains of shared-shingle docs
+exercise the iteration depth directly; the non-convergence guard
+(VERDICT.md r1 item 4) and the LSSS fallback are covered here.
 """
 
 import os
@@ -46,7 +46,8 @@ def test_chain_converges_to_one_cluster(spark, tmp_path):
 
 
 def test_unconverged_chain_raises_when_strict(spark, tmp_path, monkeypatch):
-    # a chain longer than MAX_ROUNDS cannot converge (1 edge/round)
+    # pointer jumping covers ~2^rounds chain hops: a 10-link chain
+    # cannot converge in 3 rounds even with the jump
     monkeypatch.setattr(cl, "MAX_ROUNDS", 3)
     sf_dir = _write_docs(spark, tmp_path, _chain_docs(10))
     from resume_parser_service_spark.operators.catalog import _REGISTERED
@@ -134,3 +135,21 @@ def test_label_prop_fallback_to_lsss(spark, monkeypatch):
     got = {r["doc_id"]: r["cluster_id"]
            for r in C._q_dedup_clusters(spark, sf).collect()}
     assert got == want
+
+
+def test_pointer_jumping_converges_past_round_count(spark, tmp_path,
+                                                    monkeypatch):
+    """A 20-doc chain (diameter 19) converges within 6 rounds: each
+    round chases a neighbor hop AND a pointer hop, so depth is
+    O(log diameter) — one-hop-per-round propagation would need 19
+    rounds and trip the strict guard."""
+    monkeypatch.setattr(cl, "MAX_ROUNDS", 6)
+    sf_dir = _write_docs(spark, tmp_path, _chain_docs(20))
+    from resume_parser_service_spark.operators.catalog import _REGISTERED
+    _REGISTERED.pop(id(spark), None)
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in cl._q_dedup_clusters(spark, sf_dir,
+                                            strict=True).collect()}
+    assert all(labels[i] == 0 for i in range(20)), labels
+    assert labels[20] == 20  # isolated doc self-labels outside the loop
+    _REGISTERED.pop(id(spark), None)
