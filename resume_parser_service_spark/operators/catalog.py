@@ -368,8 +368,34 @@ dots AS ({_cand_dot(dialect)})
 
 def _ann_topk_sql(dialect: str, k: int = 5, n_queries: int = 3) -> str:
     """Brute-force cosine top-k neighbors for the first ``n_queries``
-    vectors (the ANN baseline; ann_lsh_buckets is the scale path)."""
-    return f"""
+    vectors (the ANN baseline; ann_lsh_buckets is the scale path).
+
+    Spark dialect: the query vectors are a broadcast ``n_queries``-row
+    side of a cross join and each (query, corpus) dot is one
+    zip_with+aggregate fold over the packed arrays in codegen — the
+    corpus is scanned once, never exploded to O(N x d) element rows.
+    DuckDB oracle keeps the expanded-element join (sf0.01 only)."""
+    if dialect == "spark":
+        head = f"""
+WITH norms AS (
+  SELECT vec_id, sqrt(aggregate(zip_with(embedding, embedding,
+                                         (x, y) -> cast(x as double) *
+                                                   cast(y as double)),
+                                cast(0 as double),
+                                (acc, z) -> acc + z)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         aggregate(zip_with(q.embedding, e.embedding,
+                            (x, y) -> cast(x as double) * cast(y as double)),
+                   cast(0 as double), (acc, z) -> acc + z) AS dot
+  FROM embeddings e CROSS JOIN q
+  WHERE q.vec_id <> e.vec_id
+),"""
+    else:
+        head = f"""
 WITH e AS ({_vec_expand(dialect)}),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
 q AS (SELECT * FROM e WHERE vec_id < {n_queries}),
@@ -377,7 +403,8 @@ dots AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
   FROM q JOIN e ON q.i = e.i AND q.vec_id <> e.vec_id
   GROUP BY q.vec_id, e.vec_id
-),
+),"""
+    return head + f"""
 scored AS (
   SELECT d.query_id, d.neighbor_id,
          round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
