@@ -427,19 +427,43 @@ def _lsh_bucket_sql(dialect: str, n_planes: int = 8) -> str:
     """Random-hyperplane LSH bucketing over embeddings — the ANN scale
     path: bucket = sign pattern of dot(v, plane_p); plane components are
     hash-derived ((hash60(p#i) % 1001) - 500), so both engines see
-    identical planes with no stored randomness."""
+    identical planes with no stored randomness.
+
+    Spark dialect: packed plane vectors + zip_with/aggregate folds (one
+    corpus scan, no O(N x d) element explosion — see _cosine_pairs_sql);
+    DuckDB oracle keeps the expanded-element join."""
     cast_s = "string" if dialect == "spark" else "varchar"
     h = _hash60(f"concat(cast(p as {cast_s}), '#', cast(i as {cast_s}))",
                 dialect)
-    planes = (f"SELECT explode(sequence(0, {n_planes - 1})) AS p"
-              if dialect == "spark"
-              else f"SELECT unnest(range(0, {n_planes})) AS p")
     signs = " + ".join(
         f"(CASE WHEN max(CASE WHEN p = {i} THEN dot END) > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes))
+    if dialect == "spark":
+        return f"""
+WITH d AS (SELECT max(size(embedding)) AS d FROM embeddings),
+pw AS (
+  SELECT p, i, ({h} % 1001 - 500) AS w
+  FROM (SELECT explode(sequence(0, {n_planes - 1})) AS p)
+  CROSS JOIN (SELECT explode(sequence(0, (SELECT d - 1 FROM d))) AS i)
+),
+pwv AS (
+  SELECT p, transform(array_sort(collect_list(struct(i, w))),
+                      x -> cast(x.w as double)) AS wvec
+  FROM pw GROUP BY p
+),
+dots AS (
+  SELECT e.vec_id, pwv.p,
+         aggregate(zip_with(e.embedding, pwv.wvec,
+                            (x, y) -> cast(x as double) * y),
+                   cast(0 as double), (acc, z) -> acc + z) AS dot
+  FROM embeddings e CROSS JOIN pwv
+)
+SELECT vec_id, cast({signs} as bigint) AS bucket
+FROM dots GROUP BY vec_id ORDER BY vec_id
+"""
     return f"""
 WITH e AS ({_vec_expand(dialect)}),
-planes AS ({planes}),
+planes AS (SELECT unnest(range(0, {n_planes})) AS p),
 pw AS (
   SELECT p, i, ({h} % 1001 - 500) AS w
   FROM planes CROSS JOIN (SELECT DISTINCT i FROM e) dims
