@@ -19,9 +19,10 @@ from pyspark.sql import SparkSession
 
 from ..pipeline.run import run_extraction_job
 from ..schema import PAGES_SCHEMA
+from .cdc import stream_changes
 
 __all__ = ["stream_extraction", "stream_windowed_metrics",
-           "stream_sessionize"]
+           "stream_sessionize", "stream_changes"]
 
 
 def stream_extraction(spark: SparkSession, input_dir: str, out_root: str,

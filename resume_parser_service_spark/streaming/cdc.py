@@ -1,0 +1,246 @@
+"""Structured-Streaming changelog source for ``SnapshotTable`` (CDC).
+
+``spark.readStream.format("snapshot_cdc")`` turns the snapshot-manifest
+chain into a micro-batch stream: each batch serves the snapshots
+committed since the last checkpointed offset, stamped exactly like the
+batch ``SnapshotTable.read_changes`` — ``_change_type``
+('insert' | 'delete') and ``_commit_version``. Offsets are snapshot
+ids, so restart/replay is exactly-once by construction (a re-served
+range (start, end] re-reads the same immutable snapshot files).
+
+This is the streaming twin of the reference's change-notification flow
+(/root/reference/app/services/resume_service.py:106-182 rewrites one
+user's rows per request; here downstream consumers — embedding index
+refresh, incremental near-dup banding — tail the table's delta
+continuously). Implemented with the PySpark 4 Python DataSource API:
+the per-batch planning (manifest listing, compaction guard) runs on the
+driver in ``partitions()``; the data files themselves are read on
+EXECUTORS, one ``InputPartition`` per parquet file, via Arrow record
+batches — the scan parallelism is the file count, never a driver-side
+bottleneck. The table root must be on storage every executor can reach
+(same shared-filesystem assumption as ``SnapshotTable`` itself).
+
+Scope guards (documented, fail-loud): ranges that cross a re-stamping
+compaction raise (history collapsed — same rule as ``read_changes``);
+tables with declared schema-evolution ops raise (the batch reader
+transforms old snapshots per-version; the streaming source serves the
+written schema, additive-null only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+
+__all__ = ["SnapshotCDCDataSource", "stream_changes"]
+
+_INTERNAL = ("_deleted", "_bucket")
+
+
+def _arrow_to_ddl(t) -> str:
+    """Arrow type -> Spark DDL type for the column set SnapshotTable
+    writes (scalars + arrays of scalars)."""
+    import pyarrow as pa
+    prim = {"int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "long", "float": "float", "halffloat": "float",
+            "double": "double", "string": "string",
+            "large_string": "string", "bool": "boolean",
+            "binary": "binary", "large_binary": "binary"}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_to_ddl(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{f.name}: {_arrow_to_ddl(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    name = str(t)
+    if name not in prim:
+        raise ValueError(f"snapshot_cdc: unsupported column type {name}")
+    return prim[name]
+
+
+def _list_snapshots(root: str) -> list[dict]:
+    snap_dir = os.path.join(root, "_snapshots")
+    snaps = []
+    for f in os.listdir(snap_dir):
+        if f.endswith(".json"):
+            with open(os.path.join(snap_dir, f)) as fh:
+                snaps.append(json.load(fh))
+    return sorted(snaps, key=lambda s: s["id"])
+
+
+def _live_snapshots(root: str, version: int | None = None) -> list[dict]:
+    """Same replace/expire resolution as SnapshotTable.live_snapshots
+    (duplicated here because the DataSource must stay picklable and
+    dependency-free on executors)."""
+    snaps = [s for s in _list_snapshots(root)
+             if version is None or s["id"] <= version]
+    replaced: set[int] = set()
+    for s in snaps:
+        replaced.update(s.get("replaces") or [])
+    live = [s for s in snaps if s["id"] not in replaced]
+    gone = [s["id"] for s in live if s.get("expired")]
+    if gone:
+        raise ValueError(
+            f"snapshot_cdc: snapshots {gone} in range are expired — "
+            f"past the retention horizon")
+    return live
+
+
+class _CDCPartition(InputPartition):
+    def __init__(self, file_path: str, from_version: int,
+                 columns: list[str]):
+        self.file_path = file_path
+        self.from_version = from_version
+        self.columns = columns
+
+
+class _CDCStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, starting_version: int):
+        self.root = root
+        self.starting_version = starting_version
+
+    # ------------------------------------------------------- offsets --
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        live = _live_snapshots(self.root)
+        last = live[-1]["id"] if live else self.starting_version
+        return {"version": max(last, self.starting_version)}
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable; nothing to clean up
+
+    # ----------------------------------------------------- planning --
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[InputPartition]:
+        from_v, to_v = start["version"], end["version"]
+        snaps = [s for s in _live_snapshots(self.root, to_v)
+                 if s["id"] > from_v]
+        for s in snaps:
+            if (s.get("replaces") and not s.get("preserved_ids")
+                    and any(r <= from_v for r in s["replaces"])):
+                raise ValueError(
+                    f"snapshot_cdc: snapshot {s['id']} is a re-stamping "
+                    f"compaction of {s['replaces']} — row history before "
+                    f"it is collapsed (compact with mode='append' or "
+                    f"keep_versions>1 to keep the changelog streamable)")
+        cols = _schema_columns(self.root)
+        parts: list[InputPartition] = []
+        for s in snaps:
+            base = os.path.join(self.root, s["path"])
+            for dirpath, _dirs, files in os.walk(base):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        parts.append(_CDCPartition(
+                            os.path.join(dirpath, f), from_v,
+                            [c for c, _t in cols]))
+        return parts
+
+    # ------------------------------------------------------- reading --
+    def read(self, partition: _CDCPartition) -> Iterator:
+        """Executor-side: one parquet file -> Arrow batches with the
+        CDC columns appended. Columns the file predates (additive
+        evolution) are served as nulls; the stamp filter drops residual
+        pre-range rows a stamp-preserving compaction carried over."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(partition.file_path)
+        tbl = tbl.filter(pc.greater(tbl["_snapshot_id"],
+                                    partition.from_version))
+        n = tbl.num_rows
+        change = pc.if_else(tbl["_deleted"],
+                            pa.scalar("delete"), pa.scalar("insert"))
+        arrays, names = [], []
+        for c in partition.columns:
+            if c == "_change_type":
+                arrays.append(change)
+            elif c == "_commit_version":
+                arrays.append(pc.cast(tbl["_snapshot_id"], pa.int64()))
+            elif c in tbl.column_names:
+                arrays.append(tbl[c])
+            else:
+                arrays.append(pa.nulls(n))
+            names.append(c)
+        out = pa.table(arrays, names=names)
+        for batch in out.to_batches():
+            yield batch
+
+
+def _schema_columns(root: str) -> list[tuple[str, str]]:
+    """(name, ddl_type) pairs: the last live snapshot's parquet footer
+    minus internal columns, plus the two CDC columns. Declared
+    schema-evolution ops are out of streaming scope — fail loud."""
+    import pyarrow.parquet as pq
+    evo = os.path.join(root, "_schema", "evolution.json")
+    if os.path.exists(evo):
+        raise ValueError(
+            "snapshot_cdc: table has declared schema-evolution ops; "
+            "the streaming changelog serves the written schema only — "
+            "use the batch read_changes for evolved tables")
+    live = _live_snapshots(root)
+    if not live:
+        raise ValueError(f"snapshot_cdc: no snapshots under {root}")
+    fp = None
+    for dirpath, _dirs, files in os.walk(
+            os.path.join(root, live[-1]["path"])):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                fp = os.path.join(dirpath, f)
+                break
+        if fp:
+            break
+    if fp is None:
+        raise ValueError(f"snapshot_cdc: snapshot {live[-1]['id']} has "
+                         f"no data files")
+    schema = pq.ParquetFile(fp).schema_arrow
+    cols = [(f.name, _arrow_to_ddl(f.type)) for f in schema
+            if f.name not in _INTERNAL and f.name != "_snapshot_id"]
+    cols.append(("_commit_version", "long"))
+    cols.append(("_change_type", "string"))
+    return cols
+
+
+class SnapshotCDCDataSource(DataSource):
+    """``format("snapshot_cdc")``: streaming changelog over a
+    SnapshotTable root. Options: ``path`` (table root, required),
+    ``startingVersion`` (serve changes AFTER this snapshot; default 0 =
+    full history)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_cdc"
+
+    def schema(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("snapshot_cdc requires option 'path'")
+        return ", ".join(f"{c} {t}" for c, t in _schema_columns(root))
+
+    def streamReader(self, schema) -> _CDCStreamReader:
+        return _CDCStreamReader(
+            self.options["path"],
+            int(self.options.get("startingVersion", 0)))
+
+
+def stream_changes(spark, root: str, starting_version: int = 0):
+    """Register the source (idempotent per session) and open the
+    changelog stream: one row per committed change, columns = table
+    columns + (_commit_version, _change_type)."""
+    registered = getattr(spark, "_rpss_cdc_registered", False)
+    if not registered:
+        spark.dataSource.register(SnapshotCDCDataSource)
+        try:
+            spark._rpss_cdc_registered = True
+        except AttributeError:
+            pass
+    return (spark.readStream.format("snapshot_cdc")
+            .option("path", root)
+            .option("startingVersion", starting_version)
+            .load())

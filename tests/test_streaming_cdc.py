@@ -1,0 +1,135 @@
+"""Streaming changelog source (snapshot_cdc): batch parity,
+checkpointed restart (exactly-once), startingVersion, and the
+re-stamping-compaction guard."""
+
+import uuid
+
+import pytest
+
+from resume_parser_service_spark.pipeline.writer import SnapshotTable
+from resume_parser_service_spark.streaming.cdc import stream_changes
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, text string, vector array<double>")
+
+
+def _drain(spark, root, checkpoint, name, starting_version=0):
+    """One availableNow pass into a fresh memory sink; returns the
+    sink's accumulated rows as {(url, version): change_type}."""
+    q = (stream_changes(spark, root, starting_version)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    return {(r["url"], r["_commit_version"]): r["_change_type"]
+            for r in spark.sql(f"select * from {name}").collect()}
+
+
+def test_stream_matches_batch_read_changes(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0])]))
+    tbl.commit(_df(spark, [("u3", "c", [3.0])]))
+    tbl.delete_keys(spark, ["u1"])
+    got = _drain(spark, str(tmp_path / "t"), str(tmp_path / "cp"),
+                 f"cdc_{uuid.uuid4().hex[:8]}")
+    want = {(r["url"], r["_commit_version"]): r["_change_type"]
+            for r in tbl.read_changes(spark, 0).collect()}
+    assert got == want
+    assert ("u1", 3) in got and got[("u1", 3)] == "delete"
+
+
+def test_stream_preserves_vector_column(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(_df(spark, [("u1", "a", [1.5, -2.0])]))
+    df = stream_changes(spark, str(tmp_path / "t"))
+    assert dict(df.dtypes)["vector"] == "array<double>"
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    [row] = spark.sql(f"select * from {name}").collect()
+    assert row["vector"] == [1.5, -2.0]
+
+
+def test_checkpointed_restart_serves_only_new_snapshots(spark, tmp_path):
+    """The offset survives in the checkpoint: a second availableNow
+    pass after new commits appends ONLY the new snapshots' rows
+    (file sink — the memory sink cannot recover a checkpoint)."""
+    root, cp = str(tmp_path / "t"), str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+
+    def drain():
+        q = (stream_changes(spark, root)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return {(r["url"], r["_commit_version"]): r["_change_type"]
+                for r in spark.read.parquet(out).collect()}
+
+    assert drain() == {("u1", 1): "insert"}
+    tbl.commit(_df(spark, [("u2", "b", [2.0])]))
+    tbl.delete_keys(spark, ["u1"])
+    # SAME checkpoint + sink: only snapshots 2..3 are appended
+    assert drain() == {("u1", 1): "insert", ("u2", 2): "insert",
+                       ("u1", 3): "delete"}
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    tbl.commit(_df(spark, [("u2", "b", [2.0])]))
+    got = _drain(spark, root, str(tmp_path / "cp"),
+                 f"cdc_{uuid.uuid4().hex[:8]}", starting_version=1)
+    assert got == {("u2", 2): "insert"}
+
+
+def test_stream_across_preserving_compaction(spark, tmp_path):
+    """A stamp-preserving compaction keeps the changelog streamable:
+    a fresh stream over the compacted table still serves the delete
+    event and the surviving stamps."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0])]))
+    tbl.delete_keys(spark, ["u1"])
+    tbl.compact(spark, mode="current", keep_versions=2)
+    tbl.expire_snapshots()
+    got = _drain(spark, root, str(tmp_path / "cp"),
+                 f"cdc_{uuid.uuid4().hex[:8]}", starting_version=1)
+    assert got == {("u1", 2): "delete"}
+
+
+def test_restamping_compaction_fails_loud(spark, tmp_path):
+    """A range crossing a default (re-stamping) compaction must error,
+    not report the whole table as freshly inserted."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    tbl.commit(_df(spark, [("u2", "b", [2.0])]))
+    tbl.compact(spark)  # re-stamps: history collapsed
+    q = (stream_changes(spark, root, starting_version=1)
+         .writeStream.format("memory")
+         .queryName(f"cdc_{uuid.uuid4().hex[:8]}")
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="re-stamping compaction"):
+        q.awaitTermination(120)
+    q.stop()
+
+
+def test_evolved_table_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    tbl.add_column("lang", "string")
+    with pytest.raises(Exception, match="schema-evolution"):
+        stream_changes(spark, root).schema
