@@ -510,6 +510,13 @@ class SnapshotTable:
                         (F.col("_snapshot_id") > F.col("_del_snap")))
                 .drop("_del_snap", "_deleted"))
 
+    def read_live(self, spark: SparkSession) -> DataFrame | None:
+        """All live rows under delete semantics — the read for APPEND
+        tables (many rows per key, e.g. the band index), where
+        ``read_current``'s latest-per-key collapse would be wrong."""
+        df = self.read(spark)
+        return None if df is None else self._live_rows(df)
+
     def read_versions(self, spark: SparkSession, key: str | None = None
                       ) -> DataFrame | None:
         """Per-key version history (B12 parity with the reference's

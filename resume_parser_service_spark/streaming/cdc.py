@@ -36,7 +36,8 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 
-__all__ = ["SnapshotCDCDataSource", "stream_changes"]
+__all__ = ["SnapshotCDCDataSource", "stream_changes",
+           "stream_neardup_index"]
 
 _INTERNAL = ("_deleted", "_bucket")
 
@@ -244,3 +245,80 @@ def stream_changes(spark, root: str, starting_version: int = 0):
             .option("path", root)
             .option("startingVersion", starting_version)
             .load())
+
+
+def stream_neardup_index(spark, table_root: str, index_root: str,
+                         checkpoint_dir: str, available_now: bool = True):
+    """Keep an append-only MinHash band index fresh by TAILING the
+    extracted table's changelog — the decoupled twin of
+    ``run_extraction_job(neardup_index=True)`` for consumers that do
+    not own the extraction job. Per micro-batch (foreachBatch):
+
+    - inserted/updated rows -> band signatures, matched against the
+      index with the batch side broadcast (the index never shuffles);
+      novel docs' bands are appended. foreachBatch replays after a
+      crash are absorbed by the same ``seen`` guard the batch pipeline
+      uses — identical deterministic bands make a replayed url an
+      exact self-match, so it is never re-appended.
+    - deleted rows -> tombstoned OUT of the index (GDPR-style scrub
+      the run-integrated wiring cannot do: it only ever sees new
+      batches). Deleted-key lists per batch are collected to the
+      driver — deletes are rare events, orders of magnitude below row
+      volume.
+
+    Returns the StreamingQuery; candidates are derivable at any time by
+    matching a batch against the maintained index."""
+    from pyspark.sql import functions as F
+
+    from ..operators.incremental import band_signatures, seen_and_pairs
+    from ..pipeline.writer import SnapshotTable
+
+    idx_tbl = SnapshotTable(index_root)
+
+    def _apply(batch_df, _batch_id):
+        # foreachBatch hands the frame to a CLONED SparkSession — temp
+        # views (band_signatures) registered on it are invisible to the
+        # outer session, so every op in here uses the batch's session
+        bspark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            dels = [r["url"] for r in
+                    (batch_df.filter(F.col("_change_type") == "delete")
+                     .select("url").distinct().collect())]
+            if dels:
+                idx_tbl.delete_keys(bspark, dels)
+            # latest upsert per key within the batch wins (a url may be
+            # rewritten several times across the batch's snapshots)
+            ups = (batch_df.filter(F.col("_change_type") != "delete")
+                   .groupBy("url")
+                   .agg(F.max_by("text", "_commit_version").alias("text"))
+                   .select(F.col("url").alias("doc_id"), "text"))
+            new_bands = band_signatures(bspark, ups).persist()
+            try:
+                # read_live, not read_current: the index is an APPEND
+                # table (one row per band per url) — latest-per-key
+                # would collapse a url's bands to one
+                idx = idx_tbl.read_live(bspark)
+                if idx is not None:
+                    seen, _pairs = seen_and_pairs(
+                        new_bands,
+                        idx.select(F.col("url").alias("doc_id"),
+                                   "band_id", "band_hash"))
+                    new_bands_out = new_bands.join(
+                        F.broadcast(seen), "doc_id", "left_anti")
+                else:
+                    new_bands_out = new_bands
+                out = new_bands_out.withColumnRenamed("doc_id", "url")
+                if out.limit(1).count():
+                    idx_tbl.commit(out)
+            finally:
+                new_bands.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (stream_changes(spark, table_root)
+              .writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -133,3 +133,52 @@ def test_evolved_table_refused(spark, tmp_path):
     tbl.add_column("lang", "string")
     with pytest.raises(Exception, match="schema-evolution"):
         stream_changes(spark, root).schema
+
+
+def _index_rows(spark, idx_root):
+    from resume_parser_service_spark.pipeline.writer import SnapshotTable
+    df = SnapshotTable(idx_root).read_live(spark)
+    if df is None:
+        return set()
+    return {(r["url"], r["band_id"], r["band_hash"])
+            for r in df.collect()}
+
+
+def test_stream_neardup_index_bootstrap_and_scrub(spark, tmp_path):
+    """The CDC consumer bootstraps the band index from the changelog,
+    absorbs replayed upserts (identical bands = self-match, never
+    re-appended), and scrubs deleted urls out of the index."""
+    from resume_parser_service_spark.operators.incremental import (
+        band_signatures)
+    from resume_parser_service_spark.streaming.cdc import (
+        stream_neardup_index)
+
+    root, idx = str(tmp_path / "t"), str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    tbl = SnapshotTable(root)
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = "one two three four five six seven eight nine ten eleven"
+    tbl.commit(_df(spark, [("u1", d1, [1.0]), ("u2", d2, [2.0])]))
+
+    q = stream_neardup_index(spark, root, idx, cp)
+    q.awaitTermination(120); q.stop()
+    want = {(r["doc_id"], r["band_id"], r["band_hash"])
+            for r in band_signatures(
+                spark, spark.createDataFrame(
+                    [("u1", d1), ("u2", d2)],
+                    "doc_id string, text string")).collect()}
+    assert _index_rows(spark, idx) == want
+
+    # replayed upsert of identical text: self-match, not re-appended
+    tbl.commit(_df(spark, [("u1", d1, [1.0])]))
+    q = stream_neardup_index(spark, root, idx, cp)
+    q.awaitTermination(120); q.stop()
+    assert len([r for r in _index_rows(spark, idx) if r[0] == "u1"]) == 4
+
+    # delete scrubs the url's bands out of the live index
+    tbl.delete_keys(spark, ["u2"])
+    q = stream_neardup_index(spark, root, idx, cp)
+    q.awaitTermination(120); q.stop()
+    rows = _index_rows(spark, idx)
+    assert not [r for r in rows if r[0] == "u2"]
+    assert [r for r in rows if r[0] == "u1"]
