@@ -90,12 +90,23 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     instead of silently returning partial labels."""
     register_views(spark, sf_dir)
     _ensure_checkpoint_dir(spark)
-    edges = spark.sql(_edges_sql("spark"))
+    # edges is the expensive part (capped-shingle self-join); persist
+    # it before fanning out — labels, sym, and the LSSS fallback all
+    # reference it, and an unpersisted subtree would re-run the join
+    # per consumer. _edges_sql is already SYMMETRIC (both orientations
+    # come out of the x.doc_id <> y.doc_id self-join), so no reversed
+    # union here.
+    edges = spark.sql(_edges_sql("spark")).persist()
     docs = spark.table("documents").select("doc_id")
     nodes = (edges.select(F.col("src").alias("doc_id"))
              .unionByName(edges.select(F.col("dst").alias("doc_id")))
              .distinct())
-    # Self-loops keep every participating node present as a src each
+    # The eager checkpoint below is the action that materializes the
+    # persisted edges; nodes/sym then read the cache.
+    labels = (nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    # Self-loops (derived from the checkpointed labels — zero extra
+    # edge-scan) keep every participating node present as a src each
     # round — without them min-propagation loses monotonicity (a node
     # can lose its own minimum and oscillate; measured non-convergence).
     # The edge table is the BIG side and is static across rounds:
@@ -108,14 +119,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     # small graph) instead of paying a fixed
     # spark.sql.shuffle.partitions fan-out every round.
     sym = (edges.unionByName(
-               edges.select(F.col("dst").alias("src"),
-                            F.col("src").alias("dst")))
-           .unionByName(
-               nodes.select(F.col("doc_id").alias("src"),
-                            F.col("doc_id").alias("dst")))
+               labels.select(F.col("doc_id").alias("src"),
+                             F.col("doc_id").alias("dst")))
            .repartition("dst").persist())
-    labels = (nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-              .localCheckpoint(eager=True))
 
     def label_sum(frame: DataFrame) -> int:
         # decimal(38,0): immune to bigint overflow at 10^12-scale ids;
@@ -150,7 +156,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
             # the fixpoint. One cheap agg over the frame the round
             # materializes anyway.
             new_sum = label_sum(new_labels)
-            labels.unpersist()
+            # NOTE: abandoned round frames are localCheckpoint RDD
+            # blocks — Dataset.unpersist() cannot free those (it only
+            # uncaches plans); they are reclaimed by the ContextCleaner
+            # once this loop drops the reference. Bounded exposure:
+            # O(log diameter) frames, each node-set-sized. On a real
+            # cluster swap for reliable checkpoint() + explicit
+            # cleanup of superseded checkpoint dirs.
             labels = new_labels
             if new_sum == prev_sum:
                 converged = True
@@ -164,11 +176,11 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
                 raise RuntimeError(msg)
             # never return partial labels: fall back to large-star/
             # small-star, whose potential-function convergence proof
-            # doesn't lean on this loop's structure. The loop's
-            # abandoned label frame must not stay cached for the
-            # session.
+            # doesn't lean on this loop's structure (edges is still
+            # persisted here — the fallback reads the cache, and the
+            # finally below frees it once the fallback's eager rounds
+            # have run).
             log.error("%s; falling back to large-star/small-star", msg)
-            labels.unpersist()
             return connected_components_lsss(spark, edges, docs)
         # isolated docs (no candidate pair) self-label outside the loop
         return (docs.join(labels, "doc_id", "left")
@@ -178,6 +190,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
                 .orderBy("doc_id"))
     finally:
         sym.unpersist()
+        edges.unpersist()
 
 
 def connected_components_lsss(spark: SparkSession, edges: DataFrame,

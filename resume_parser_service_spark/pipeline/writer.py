@@ -51,9 +51,14 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ state --
     def snapshots(self) -> list[dict]:
+        import re
         snaps = []
         for f in os.listdir(self.snap_dir):
-            if f.endswith(".json"):
+            # canonical NNNNNN.json manifests only: a concurrent
+            # writer's half-written .tmp-<uuid>.json must be neither
+            # parsed (JSONDecodeError) nor double-counted next to the
+            # final name it is about to be linked to
+            if re.fullmatch(r"\d+\.json", f):
                 with open(os.path.join(self.snap_dir, f)) as fh:
                     snaps.append(json.load(fh))
         return sorted(snaps, key=lambda s: s["id"])

@@ -65,10 +65,15 @@ def _arrow_to_ddl(t) -> str:
 
 
 def _list_snapshots(root: str) -> list[dict]:
+    import re
     snap_dir = os.path.join(root, "_snapshots")
     snaps = []
     for f in os.listdir(snap_dir):
-        if f.endswith(".json"):
+        # canonical manifests only: a writer racing this poll has a
+        # half-written `.tmp-<uuid>.json` in the directory (commit is
+        # write-tmp -> link -> unlink); reading it would crash the
+        # stream or double-serve the snapshot it is about to become
+        if re.fullmatch(r"\d+\.json", f):
             with open(os.path.join(snap_dir, f)) as fh:
                 snaps.append(json.load(fh))
     return sorted(snaps, key=lambda s: s["id"])
@@ -254,23 +259,26 @@ def stream_neardup_index(spark, table_root: str, index_root: str,
     ``run_extraction_job(neardup_index=True)`` for consumers that do
     not own the extraction job. Per micro-batch (foreachBatch):
 
-    - inserted/updated rows -> band signatures, matched against the
-      index with the batch side broadcast (the index never shuffles);
-      novel docs' bands are appended. foreachBatch replays after a
-      crash are absorbed by the same ``seen`` guard the batch pipeline
-      uses — identical deterministic bands make a replayed url an
-      exact self-match, so it is never re-appended.
-    - deleted rows -> tombstoned OUT of the index (GDPR-style scrub
+    - The url's FINAL event in the batch decides: an insert followed by
+      a delete in the same micro-batch (e.g. a bootstrap serving the
+      whole history at once) leaves nothing behind.
+    - Upserted urls -> band signatures, diffed against the index:
+      a url whose full signature already matches (deterministic bands —
+      a foreachBatch replay or a no-op rewrite) is skipped; a url
+      indexed under a DIFFERING signature (real text update) gets its
+      stale bands tombstoned and the new ones appended; novel urls
+      just append. The index is only ever touched via broadcast joins
+      of the (small) batch side — it never shuffles.
+    - Deleted urls -> tombstoned OUT of the index (GDPR-style scrub
       the run-integrated wiring cannot do: it only ever sees new
-      batches). Deleted-key lists per batch are collected to the
-      driver — deletes are rare events, orders of magnitude below row
-      volume.
+      batches). Deleted/changed key lists per batch are collected to
+      the driver — both are batch-bounded.
 
     Returns the StreamingQuery; candidates are derivable at any time by
     matching a batch against the maintained index."""
     from pyspark.sql import functions as F
 
-    from ..operators.incremental import band_signatures, seen_and_pairs
+    from ..operators.incremental import band_signatures
     from ..pipeline.writer import SnapshotTable
 
     idx_tbl = SnapshotTable(index_root)
@@ -282,33 +290,59 @@ def stream_neardup_index(spark, table_root: str, index_root: str,
         bspark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
+            last = (batch_df.groupBy("url")
+                    .agg(F.max_by(F.struct("_change_type", "text"),
+                                  "_commit_version").alias("_last")))
             dels = [r["url"] for r in
-                    (batch_df.filter(F.col("_change_type") == "delete")
-                     .select("url").distinct().collect())]
-            if dels:
-                idx_tbl.delete_keys(bspark, dels)
-            # latest upsert per key within the batch wins (a url may be
-            # rewritten several times across the batch's snapshots)
-            ups = (batch_df.filter(F.col("_change_type") != "delete")
-                   .groupBy("url")
-                   .agg(F.max_by("text", "_commit_version").alias("text"))
-                   .select(F.col("url").alias("doc_id"), "text"))
+                    (last.filter(F.col("_last._change_type") == "delete")
+                     .select("url").collect())]
+            ups = (last.filter(F.col("_last._change_type") != "delete")
+                   .select(F.col("url").alias("doc_id"),
+                           F.col("_last.text").alias("text")))
             new_bands = band_signatures(bspark, ups).persist()
             try:
                 # read_live, not read_current: the index is an APPEND
                 # table (one row per band per url) — latest-per-key
                 # would collapse a url's bands to one
                 idx = idx_tbl.read_live(bspark)
+                changed: list = []
                 if idx is not None:
-                    seen, _pairs = seen_and_pairs(
-                        new_bands,
-                        idx.select(F.col("url").alias("doc_id"),
-                                   "band_id", "band_hash"))
-                    new_bands_out = new_bands.join(
-                        F.broadcast(seen), "doc_id", "left_anti")
+                    # the index's rows for THIS batch's urls only
+                    # (batch side broadcast, index streams map-side)
+                    batch_urls = ups.select(F.col("doc_id").alias("url"))
+                    idx_b = (idx.select("url", "band_id", "band_hash")
+                             .join(F.broadcast(batch_urls), "url",
+                                   "left_semi")
+                             .select(F.col("url").alias("doc_id"),
+                                     "band_id", "band_hash").persist())
+                    # replay vs update: a replayed url's FULL signature
+                    # is already indexed (bands are deterministic); an
+                    # indexed url with any differing band is an update
+                    nb_n = (new_bands.groupBy("doc_id")
+                            .agg(F.count(F.lit(1)).alias("_n")))
+                    match_n = (new_bands
+                               .join(idx_b,
+                                     ["doc_id", "band_id", "band_hash"])
+                               .groupBy("doc_id")
+                               .agg(F.count(F.lit(1)).alias("_m")))
+                    replayed = (nb_n.join(match_n, "doc_id")
+                                .filter(F.col("_m") == F.col("_n"))
+                                .select("doc_id"))
+                    changed = [r["doc_id"] for r in
+                               (idx_b.select("doc_id").distinct()
+                                .join(replayed, "doc_id", "left_anti")
+                                .collect())]
+                    to_append = new_bands.join(F.broadcast(replayed),
+                                               "doc_id", "left_anti")
+                    idx_b.unpersist()
                 else:
-                    new_bands_out = new_bands
-                out = new_bands_out.withColumnRenamed("doc_id", "url")
+                    to_append = new_bands
+                # tombstones FIRST so changed urls' fresh bands land in
+                # a later snapshot than the tombstone and stay live
+                scrub = sorted(set(dels) | set(changed))
+                if scrub:
+                    idx_tbl.delete_keys(bspark, scrub)
+                out = to_append.withColumnRenamed("doc_id", "url")
                 if out.limit(1).count():
                     idx_tbl.commit(out)
             finally:

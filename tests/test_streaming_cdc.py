@@ -182,3 +182,65 @@ def test_stream_neardup_index_bootstrap_and_scrub(spark, tmp_path):
     rows = _index_rows(spark, idx)
     assert not [r for r in rows if r[0] == "u2"]
     assert [r for r in rows if r[0] == "u1"]
+
+
+def test_neardup_index_insert_then_delete_same_batch(spark, tmp_path):
+    """Bootstrap case (review finding): when a url's insert AND delete
+    are served in ONE micro-batch, the final event decides — no live
+    bands may survive for it."""
+    from resume_parser_service_spark.streaming.cdc import (
+        stream_neardup_index)
+    root, idx = str(tmp_path / "t"), str(tmp_path / "idx")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u2", "one two three four five six seven",
+                            [1.0])]))
+    tbl.delete_keys(spark, ["u2"])
+    q = stream_neardup_index(spark, root, idx, str(tmp_path / "cp"))
+    q.awaitTermination(120); q.stop()
+    assert not [r for r in _index_rows(spark, idx) if r[0] == "u2"]
+
+
+def test_neardup_index_update_replaces_stale_bands(spark, tmp_path):
+    """A real text rewrite (review finding): the url's OLD bands are
+    tombstoned and the index ends up exactly equal to the new text's
+    signature — no stale bands producing candidates against text that
+    no longer exists, and no dropped new bands when some bands still
+    collide with the old version."""
+    from resume_parser_service_spark.operators.incremental import (
+        band_signatures)
+    from resume_parser_service_spark.streaming.cdc import (
+        stream_neardup_index)
+    root, idx, cp = (str(tmp_path / "t"), str(tmp_path / "idx"),
+                     str(tmp_path / "cp"))
+    tbl = SnapshotTable(root)
+    t_old = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_new = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+    tbl.commit(_df(spark, [("u1", t_old, [1.0])]))
+    q = stream_neardup_index(spark, root, idx, cp)
+    q.awaitTermination(120); q.stop()
+    tbl.commit(_df(spark, [("u1", t_new, [1.0])]))
+    q = stream_neardup_index(spark, root, idx, cp)
+    q.awaitTermination(120); q.stop()
+    want = {("u1", r["band_id"], r["band_hash"])
+            for r in band_signatures(
+                spark, spark.createDataFrame(
+                    [("u1", t_new)], "doc_id string, text string")
+            ).collect()}
+    assert _index_rows(spark, idx) == want
+
+
+def test_snapshot_listing_skips_tmp_manifests(spark, tmp_path):
+    """A half-written `.tmp-*.json` in _snapshots (a racing writer
+    mid-commit) must be ignored by both the batch table and the
+    streaming source (review finding: a continuously polling stream
+    crashed on JSONDecodeError or double-served the snapshot)."""
+    import os
+    from resume_parser_service_spark.streaming.cdc import _list_snapshots
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    with open(os.path.join(root, "_snapshots", ".tmp-deadbeef.json"),
+              "w") as fh:
+        fh.write("{ half writ")  # invalid JSON, mid-write
+    assert [s["id"] for s in tbl.snapshots()] == [1]
+    assert [s["id"] for s in _list_snapshots(root)] == [1]
