@@ -180,3 +180,47 @@ def test_classify_updates_after_compaction_and_expiry(spark, tmp_path):
     tbl.expire_snapshots()
     assert _changes(tbl, spark, 1, classify_updates=True) == {
         ("u1", 2): "update_after", ("u2", 2): "insert"}
+
+
+def test_changelog_replay_reconstructs_state_property(spark, tmp_path):
+    """CDC replay invariant: folding the changelog from version 0 in
+    commit order (last event per key wins; delete erases) reconstructs
+    read_current EXACTLY — across upserts, deletes, re-inserts after
+    delete, stamp-preserving compactions, and snapshot expiry. This is
+    the contract every downstream CDC consumer (index refresh, mirror
+    table) silently depends on."""
+    import random
+    rng = random.Random(42)
+    keys = [f"u{i}" for i in range(8)]
+    for trial in range(3):
+        tbl = SnapshotTable(str(tmp_path / f"t{trial}"))
+        alive: set = set()
+        for step in range(7):
+            op = rng.choice(["commit", "commit", "commit", "delete",
+                             "compact"])
+            if op == "commit":
+                ks = rng.sample(keys, rng.randint(1, 3))
+                tbl.commit(_df(spark, [(k, f"{k}@{step}",
+                                        [float(step)]) for k in ks]))
+                alive.update(ks)
+            elif op == "delete" and alive:
+                k = rng.choice(sorted(alive))
+                tbl.delete_keys(spark, [k])
+                alive.discard(k)
+            elif op == "compact" and len(tbl.live_snapshots()) > 2:
+                tbl.compact(spark, mode="current", keep_versions=2)
+                tbl.expire_snapshots()
+        delta = tbl.read_changes(spark, 0)
+        state: dict = {}
+        if delta is not None:
+            rows = sorted(delta.collect(),
+                          key=lambda r: r["_commit_version"])
+            for r in rows:
+                if r["_change_type"] == "delete":
+                    state.pop(r["url"], None)
+                else:
+                    state[r["url"]] = r["text"]
+        cur = {r["url"]: r["text"]
+               for r in tbl.read_current(spark).collect()}
+        assert state == cur, f"trial {trial}: replay diverged"
+        assert set(cur) == alive, f"trial {trial}: liveness diverged"
