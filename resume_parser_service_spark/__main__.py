@@ -56,12 +56,37 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--delta-out", default=None,
                    help="with --changes-since: write the delta rows "
                         "to this parquet path")
+    p.add_argument("--maintain-index", default=None, metavar="INDEX_ROOT",
+                   help="CDC consumer mode: drain "
+                        "<output>/resumes_extracted's changelog "
+                        "(availableNow) and keep the append-only MinHash "
+                        "band index at INDEX_ROOT fresh — updates replace "
+                        "stale bands, deletes scrub them")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
     from .session import get_spark
     spark = get_spark(app_name="resume-parser-service-spark",
                       cores=args.cores)
+
+    if args.maintain_index:
+        import os
+        from .pipeline.writer import SnapshotTable
+        from .streaming.cdc import stream_neardup_index
+        q = stream_neardup_index(
+            spark, os.path.join(args.output, "resumes_extracted"),
+            args.maintain_index,
+            os.path.join(args.maintain_index, "_checkpoint"))
+        q.awaitTermination()
+        idx = SnapshotTable(args.maintain_index)
+        last = idx.last_snapshot()
+        live = idx.read_live(spark)
+        print(json.dumps({
+            "mode": "maintain_index",
+            "index_root": args.maintain_index,
+            "index_snapshot": last["id"] if last else None,
+            "live_band_rows": live.count() if live is not None else 0}))
+        return 0
 
     if args.changes_since is not None:
         import os

@@ -163,6 +163,14 @@ class _CDCStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         change = pc.if_else(tbl["_deleted"],
                             pa.scalar("delete"), pa.scalar("insert"))
+        def _norm(col):
+            # Spark's Arrow bridge takes MICROsecond timestamps only;
+            # pyarrow reads Spark-written parquet timestamps as ns
+            t = col.type
+            if pa.types.is_timestamp(t) and t.unit != "us":
+                return pc.cast(col, pa.timestamp("us", tz=t.tz))
+            return col
+
         arrays, names = [], []
         for c in partition.columns:
             if c == "_change_type":
@@ -170,7 +178,9 @@ class _CDCStreamReader(DataSourceStreamReader):
             elif c == "_commit_version":
                 arrays.append(pc.cast(tbl["_snapshot_id"], pa.int64()))
             elif c in tbl.column_names:
-                arrays.append(tbl[c])
+                arrays.append(_norm(tbl[c].combine_chunks()
+                                    if tbl[c].num_chunks != 1
+                                    else tbl[c]))
             else:
                 arrays.append(pa.nulls(n))
             names.append(c)

@@ -244,3 +244,23 @@ def test_snapshot_listing_skips_tmp_manifests(spark, tmp_path):
         fh.write("{ half writ")  # invalid JSON, mid-write
     assert [s["id"] for s in tbl.snapshots()] == [1]
     assert [s["id"] for s in _list_snapshots(root)] == [1]
+
+
+def test_stream_serves_timestamp_columns(spark, tmp_path):
+    """Spark-written parquet timestamps come back from pyarrow as
+    NANOSECOND — Spark's Arrow bridge takes only microseconds, so the
+    reader must normalize units (review-found on the real pages
+    table's warc_ts)."""
+    import datetime
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    ts = datetime.datetime(2026, 8, 18, 12, 0, 0)
+    tbl.commit(spark.createDataFrame(
+        [("u1", ts)], "url string, warc_ts timestamp"))
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (stream_changes(spark, root)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120); q.stop()
+    [row] = spark.sql(f"select * from {name}").collect()
+    assert row["warc_ts"] == ts
