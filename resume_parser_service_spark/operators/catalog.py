@@ -161,9 +161,19 @@ def _capped_shingles_cte(dialect: str, max_df: int,
     shingles above the document-frequency cap removed BEFORE any
     self-join. Single source for the df-cap policy — used by both the
     near-dup pair query here and cluster._edges_sql, which must stay
-    in lockstep or pairs and clustering edges silently diverge."""
+    in lockstep or pairs and clustering edges silently diverge.
+
+    Shingles are HASHED to 60-bit ints at the source: everything
+    downstream (the distinct, the df-cap group, the candidate
+    self-join) only ever compares shingles for equality, so an 8-byte
+    join key replaces the ~40-byte 5-gram string in every shuffle.
+    Both dialects hash with the same md5-derived hash60, so
+    cross-engine parity is untouched; a collision (~2^-60 per pair)
+    would merge two shingles identically in BOTH engines."""
+    h = _hash60("shingle", dialect)
     return f"""sh AS (
-  SELECT DISTINCT doc_id, shingle FROM ({_shingle_rel(dialect, table=table)})
+  SELECT DISTINCT doc_id, {h} AS shingle
+  FROM ({_shingle_rel(dialect, table=table)})
 ),
 cold AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
