@@ -264,3 +264,34 @@ def test_stream_serves_timestamp_columns(spark, tmp_path):
     q.awaitTermination(120); q.stop()
     [row] = spark.sql(f"select * from {name}").collect()
     assert row["warc_ts"] == ts
+
+
+def test_continuous_poll_picks_up_new_commits(spark, tmp_path):
+    """Processing-time trigger: snapshots committed WHILE the stream
+    runs are picked up by the next latestOffset poll — the continuous
+    tail-the-table mode (availableNow covers catch-up)."""
+    import time
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (stream_changes(spark, root)
+         .writeStream.format("memory").queryName(name)
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(f"select * from {name}").count() >= 1:
+                break
+            time.sleep(1)
+        tbl.commit(_df(spark, [("u2", "b", [2.0])]))
+        got = {}
+        while time.time() < deadline:
+            got = {(r["url"], r["_commit_version"]): r["_change_type"]
+                   for r in spark.sql(f"select * from {name}").collect()}
+            if ("u2", 2) in got:
+                break
+            time.sleep(1)
+        assert got == {("u1", 1): "insert", ("u2", 2): "insert"}
+    finally:
+        q.stop()
