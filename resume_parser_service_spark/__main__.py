@@ -70,14 +70,19 @@ def main(argv: list[str] | None = None) -> int:
                       cores=args.cores)
 
     if args.maintain_index:
+        if args.changes_since is not None:
+            p.error("--maintain-index and --changes-since are separate "
+                    "modes; run them as two invocations")
         import os
         from .pipeline.writer import SnapshotTable
-        from .streaming.cdc import stream_neardup_index
-        q = stream_neardup_index(
+        from .streaming.cdc import maintain_index_until_current
+        # loops availableNow drains until the checkpoint has COMMITTED
+        # the table's latest snapshot — one start() is not enough after
+        # a crash left a batch pending (single-batch fallback)
+        drains = maintain_index_until_current(
             spark, os.path.join(args.output, "resumes_extracted"),
             args.maintain_index,
             os.path.join(args.maintain_index, "_checkpoint"))
-        q.awaitTermination()
         idx = SnapshotTable(args.maintain_index)
         last = idx.last_snapshot()
         live = idx.read_live(spark)
@@ -85,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             "mode": "maintain_index",
             "index_root": args.maintain_index,
             "index_snapshot": last["id"] if last else None,
+            "drains": drains,
             "live_band_rows": live.count() if live is not None else 0}))
         return 0
 

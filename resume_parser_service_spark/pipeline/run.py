@@ -62,7 +62,12 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame, out_root: str,
     ``canonicalize_urls=True``: canonicalize urls (operators.urlnorm)
     before dedup/resume so trivial variants (host case, default ports,
     utm params, fragments) share one identity key."""
-    extracted_tbl = SnapshotTable(os.path.join(out_root, "resumes_extracted"))
+    # key blooms only on the PRIMARY keyed table — the point-lookup
+    # target; the audit log and band index are append/scan tables where
+    # an NDV-sized bloom is pure overhead
+    extracted_tbl = SnapshotTable(os.path.join(out_root,
+                                               "resumes_extracted"),
+                                  bloom_ndv=100_000)
     audit_tbl = SnapshotTable(os.path.join(out_root, "extraction_audit"))
     run_id = uuid.uuid4().hex[:12]
 

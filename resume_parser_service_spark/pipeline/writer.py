@@ -41,11 +41,16 @@ def _hash60_py(s: str) -> int:
 class SnapshotTable:
     def __init__(self, root: str, key_col: str = "url",
                  buckets: int | None = None,
-                 bloom_ndv: int | None = 100_000):
+                 bloom_ndv: int | None = None):
         """``buckets``: hash-bucket the data files by key (B11 index
         layout) — point lookups then read 1/buckets of the files.
         ``bloom_ndv``: write a parquet bloom filter on the key column
-        sized for this many distinct keys per file (None = off)."""
+        sized for this many distinct keys per file (None = off, the
+        default — the bloom is NDV-sized, ~1.2 bytes/key, REGARDLESS of
+        the file's row count, so it only pays on the primary keyed
+        table with realistically-sized files; audit/index side tables
+        and small-batch commits would carry pure overhead, and parquet
+        skips blooms on fully dictionary-encoded chunks anyway)."""
         self.root = root
         self.key_col = key_col
         self.buckets = buckets

@@ -37,7 +37,7 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 
 __all__ = ["SnapshotCDCDataSource", "stream_changes",
-           "stream_neardup_index"]
+           "stream_neardup_index", "maintain_index_until_current"]
 
 _INTERNAL = ("_deleted", "_bucket")
 
@@ -163,13 +163,25 @@ class _CDCStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         change = pc.if_else(tbl["_deleted"],
                             pa.scalar("delete"), pa.scalar("insert"))
-        def _norm(col):
+        def _us_type(t):
             # Spark's Arrow bridge takes MICROsecond timestamps only;
-            # pyarrow reads Spark-written parquet timestamps as ns
-            t = col.type
+            # pyarrow reads Spark-written parquet timestamps as ns —
+            # including NESTED inside structs/lists, so rebuild the
+            # type recursively
             if pa.types.is_timestamp(t) and t.unit != "us":
-                return pc.cast(col, pa.timestamp("us", tz=t.tz))
-            return col
+                return pa.timestamp("us", tz=t.tz)
+            if pa.types.is_struct(t):
+                return pa.struct([f.with_type(_us_type(f.type))
+                                  for f in t])
+            if pa.types.is_large_list(t):
+                return pa.large_list(_us_type(t.value_type))
+            if pa.types.is_list(t):
+                return pa.list_(_us_type(t.value_type))
+            return t
+
+        def _norm(col):
+            target = _us_type(col.type)
+            return col if target == col.type else pc.cast(col, target)
 
         arrays, names = [], []
         for c in partition.columns:
@@ -366,3 +378,49 @@ def stream_neardup_index(spark, table_root: str, index_root: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _committed_offset(checkpoint_dir: str) -> int | None:
+    """Last snapshot version whose micro-batch is fully COMMITTED in
+    the checkpoint (Spark layout: offsets/<batchId> is written before
+    the batch runs, commits/<batchId> after; the offsets file's last
+    line is the source offset JSON). None = nothing committed yet."""
+    cdir = os.path.join(checkpoint_dir, "commits")
+    odir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        done = [int(f) for f in os.listdir(cdir) if f.isdigit()]
+    except FileNotFoundError:
+        return None
+    if not done:
+        return None
+    with open(os.path.join(odir, str(max(done)))) as fh:
+        last = fh.read().strip().splitlines()[-1]
+    return int(json.loads(last)["version"])
+
+
+def maintain_index_until_current(spark, table_root: str, index_root: str,
+                                 checkpoint_dir: str,
+                                 max_drains: int = 10) -> int:
+    """Drain the changelog into the band index until the checkpoint has
+    COMMITTED up to the table's latest snapshot, re-starting the
+    availableNow query as needed. Needed because Python DataSource
+    streams fall back from Trigger.AvailableNow to single-batch
+    execution: one start() serves only the batch planned at start — a
+    run that crashed between offset-write and commit leaves that batch
+    pending, and the next start() re-runs ONLY it, silently excluding
+    snapshots committed since. Returns the number of drains."""
+    target = 0
+    live = _live_snapshots(table_root)
+    if live:
+        target = live[-1]["id"]
+    for n in range(1, max_drains + 1):
+        q = stream_neardup_index(spark, table_root, index_root,
+                                 checkpoint_dir)
+        q.awaitTermination()
+        q.stop()
+        done = _committed_offset(checkpoint_dir)
+        if done is not None and done >= target:
+            return n
+    raise RuntimeError(
+        f"maintain_index: checkpoint still behind snapshot {target} "
+        f"after {max_drains} drains")

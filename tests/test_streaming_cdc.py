@@ -295,3 +295,50 @@ def test_continuous_poll_picks_up_new_commits(spark, tmp_path):
         assert got == {("u1", 1): "insert", ("u2", 2): "insert"}
     finally:
         q.stop()
+
+
+def test_stream_serves_nested_timestamps(spark, tmp_path):
+    """Nanosecond normalization must recurse into structs and arrays —
+    a top-level-only cast leaves nested timestamp[ns] for the Arrow
+    bridge to reject."""
+    import datetime
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    ts = datetime.datetime(2026, 8, 18, 12, 0, 0)
+    tbl.commit(spark.createDataFrame(
+        [("u1", (ts,), [ts])],
+        "url string, meta struct<fetched_at: timestamp>, "
+        "ts_list array<timestamp>"))
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (stream_changes(spark, root)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120); q.stop()
+    [row] = spark.sql(f"select * from {name}").collect()
+    assert row["meta"]["fetched_at"] == ts
+    assert row["ts_list"] == [ts]
+
+
+def test_maintain_index_cli(spark, tmp_path, capsys):
+    """The --maintain-index CLI branch end-to-end: drains until the
+    checkpoint commits the table's latest snapshot (looping past the
+    single-batch fallback) and reports the index state; a re-run is a
+    no-op on the same index snapshot."""
+    import json as _json
+    from resume_parser_service_spark.__main__ import main
+    out_root = str(tmp_path / "o")
+    tbl = SnapshotTable(out_root + "/resumes_extracted")
+    tbl.commit(_df(spark, [("u1", "one two three four five six", [1.0])]))
+    tbl.commit(_df(spark, [("u2", "seven eight nine ten eleven x", [2.0])]))
+    idx = str(tmp_path / "idx")
+
+    def run():
+        assert main(["--output", out_root, "--maintain-index", idx]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    first = run()
+    assert first["mode"] == "maintain_index"
+    assert first["live_band_rows"] == 8 and first["drains"] >= 1
+    second = run()
+    assert second["index_snapshot"] == first["index_snapshot"]
+    assert second["live_band_rows"] == 8

@@ -320,11 +320,10 @@ def test_sorted_compaction_prunes_point_lookup_to_one_file(spark, tmp_path):
     an unsorted compaction hash-mixes keys and every file's range spans
     the key space, pruning nothing."""
     def _load(root, sort):
-        # bloom_ndv=None: this test sizes compaction output with a tiny
-        # 5 KB target to force a multi-file split — the key bloom
-        # (~130 KB/file, NDV-sized) would dwarf the target and shatter
-        # the table into 1-row files whose min==max stats prune anyway
-        tbl = SnapshotTable(str(tmp_path / root), bloom_ndv=None)
+        # default blooms-off matters here: the tiny 5 KB file target
+        # would be dwarfed by an NDV-sized key bloom, shattering the
+        # table into 1-row files whose min==max stats prune anyway
+        tbl = SnapshotTable(str(tmp_path / root))
         # interleaved keys across two snapshots so pre-compaction
         # files overlap too
         tbl.commit(_df(spark, [(f"u{i:03d}", "x" * 200, [1.0])

@@ -203,8 +203,8 @@ def test_commit_writes_key_bloom_filter(spark, tmp_path):
                    for f in fs if f.endswith(".parquet"))
 
     rows = [(f"u{i}", f"t{i}", [float(i)]) for i in range(50)]
-    on = SnapshotTable(str(tmp_path / "on"))   # default bloom_ndv
-    off = SnapshotTable(str(tmp_path / "off"), bloom_ndv=None)
+    on = SnapshotTable(str(tmp_path / "on"), bloom_ndv=100_000)
+    off = SnapshotTable(str(tmp_path / "off"))  # default: blooms off
     on.commit(_df(spark, rows), partitions=1)
     off.commit(_df(spark, rows), partitions=1)
     # 100k-NDV bloom ~ 120 KB/file vs a few-KB bare file
