@@ -259,3 +259,20 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_vector_queries_never_explode_embeddings(spark):
+    """Packed-array ratchet (late-r4): the Spark dialects of the
+    embedding queries compute projections/norms/dots as
+    zip_with+aggregate folds over the packed arrays — a posexplode of
+    the embedding column (the O(N x d) element blowup) must never
+    reappear in their plans. (The only Generate nodes allowed are the
+    tiny plane/dim sequence explodes.)"""
+    from resume_parser_service_spark.operators.catalog import (
+        _ann_topk_sql, _cosine_pairs_sql, _lsh_bucket_sql, register_views)
+    register_views(spark, SF_DIR)
+    for sql in (_cosine_pairs_sql("spark"), _ann_topk_sql("spark"),
+                _lsh_bucket_sql("spark")):
+        plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        assert "posexplode" not in plan
+        assert "zip_with" in plan or "aggregate(" in plan
