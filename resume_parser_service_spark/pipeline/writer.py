@@ -23,6 +23,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import manifests as _manifests
+
 __all__ = ["SnapshotTable", "SnapshotConflictError"]
 
 
@@ -59,18 +61,11 @@ class SnapshotTable:
         os.makedirs(self.snap_dir, exist_ok=True)
 
     # ------------------------------------------------------------ state --
+    # Manifest-chain semantics (canonical-name filter, replaces/expired
+    # resolution, delta-range safety) live in pipeline.manifests so the
+    # streaming CDC source resolves them identically — see that module.
     def snapshots(self) -> list[dict]:
-        import re
-        snaps = []
-        for f in os.listdir(self.snap_dir):
-            # canonical NNNNNN.json manifests only: a concurrent
-            # writer's half-written .tmp-<uuid>.json must be neither
-            # parsed (JSONDecodeError) nor double-counted next to the
-            # final name it is about to be linked to
-            if re.fullmatch(r"\d+\.json", f):
-                with open(os.path.join(self.snap_dir, f)) as fh:
-                    snaps.append(json.load(fh))
-        return sorted(snaps, key=lambda s: s["id"])
+        return _manifests.list_snapshots(self.root)
 
     def last_snapshot(self) -> dict | None:
         snaps = self.snapshots()
@@ -81,18 +76,7 @@ class SnapshotTable:
         replace the snapshots they absorbed (manifest ``replaces``,
         Iceberg rewrite_data_files semantics); expired snapshots inside
         the requested range raise — their data files are gone."""
-        snaps = [s for s in self.snapshots()
-                 if version is None or s["id"] <= version]
-        replaced: set[int] = set()
-        for s in snaps:
-            replaced.update(s.get("replaces") or [])
-        live = [s for s in snaps if s["id"] not in replaced]
-        gone = [s["id"] for s in live if s.get("expired")]
-        if gone:
-            raise ValueError(
-                f"time travel to version {version} needs expired "
-                f"snapshot(s) {gone} — past the retention horizon")
-        return live
+        return _manifests.resolve_live(self.snapshots(), version)
 
     # --------------------------------------------------- schema evolution --
     # Iceberg-style column evolution without field IDs: a table-level
@@ -625,15 +609,7 @@ class SnapshotTable:
                 f"to_version {to_version} < from_version {from_version}")
         snaps = [s for s in self.live_snapshots(to_version)
                  if s["id"] > from_version]
-        for s in snaps:
-            if (s.get("replaces") and not s.get("preserved_ids")
-                    and any(r <= from_version for r in s["replaces"])):
-                raise ValueError(
-                    f"cannot read changes since {from_version}: snapshot "
-                    f"{s['id']} is a re-stamping compaction of "
-                    f"{s['replaces']} — row history before it is "
-                    f"collapsed (compact with mode='append' or "
-                    f"keep_versions>1 to keep the changelog readable)")
+        _manifests.check_delta_range(snaps, from_version)
         df = self._read_snaps(spark, snaps)
         if df is None:
             return None
@@ -717,14 +693,27 @@ class SnapshotTable:
                 "unchanged": int(stats_row["total"]) - inserted - updated,
                 "snapshot_id": snap}
 
-    def delete_keys(self, spark: SparkSession, keys: list) -> int | None:
-        """Delete by key via tombstone rows (SURVEY.md B7)."""
+    def delete_keys(self, spark: SparkSession,
+                    keys: "list | DataFrame") -> int | None:
+        """Delete by key via tombstone rows (SURVEY.md B7).
+
+        ``keys`` is a Python list for small, driver-known key sets, or
+        a single-column DataFrame of keys for large ones (a GDPR sweep,
+        a CDC bootstrap batch): the DataFrame form stays distributed
+        end-to-end — a semi-join against the table inside the commit,
+        with NO driver materialization of the key set."""
         from pyspark.sql import functions as F
         cur = self.read_current(spark)
         if cur is None:
             return None
-        victims = cur.filter(F.col(self.key_col).isin(keys)) \
-            .withColumn("_deleted", F.lit(True))
+        if isinstance(keys, DataFrame):
+            key_df = (keys.selectExpr(f"{keys.columns[0]} AS "
+                                      f"{self.key_col}").distinct())
+            victims = cur.join(key_df, self.key_col, "left_semi") \
+                .withColumn("_deleted", F.lit(True))
+        else:
+            victims = cur.filter(F.col(self.key_col).isin(keys)) \
+                .withColumn("_deleted", F.lit(True))
         if victims.isEmpty():
             return None
         return self.commit(victims)

@@ -36,6 +36,12 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 
+# Manifest resolution is SHARED with the batch reader (SnapshotTable)
+# via pipeline.manifests — module-level pure functions, so the
+# DataSource stays picklable and the stream can never diverge from the
+# batch reader on what the manifest chain means.
+from ..pipeline.manifests import check_delta_range, live_snapshots
+
 __all__ = ["SnapshotCDCDataSource", "stream_changes",
            "stream_neardup_index", "maintain_index_until_current"]
 
@@ -64,39 +70,6 @@ def _arrow_to_ddl(t) -> str:
     return prim[name]
 
 
-def _list_snapshots(root: str) -> list[dict]:
-    import re
-    snap_dir = os.path.join(root, "_snapshots")
-    snaps = []
-    for f in os.listdir(snap_dir):
-        # canonical manifests only: a writer racing this poll has a
-        # half-written `.tmp-<uuid>.json` in the directory (commit is
-        # write-tmp -> link -> unlink); reading it would crash the
-        # stream or double-serve the snapshot it is about to become
-        if re.fullmatch(r"\d+\.json", f):
-            with open(os.path.join(snap_dir, f)) as fh:
-                snaps.append(json.load(fh))
-    return sorted(snaps, key=lambda s: s["id"])
-
-
-def _live_snapshots(root: str, version: int | None = None) -> list[dict]:
-    """Same replace/expire resolution as SnapshotTable.live_snapshots
-    (duplicated here because the DataSource must stay picklable and
-    dependency-free on executors)."""
-    snaps = [s for s in _list_snapshots(root)
-             if version is None or s["id"] <= version]
-    replaced: set[int] = set()
-    for s in snaps:
-        replaced.update(s.get("replaces") or [])
-    live = [s for s in snaps if s["id"] not in replaced]
-    gone = [s["id"] for s in live if s.get("expired")]
-    if gone:
-        raise ValueError(
-            f"snapshot_cdc: snapshots {gone} in range are expired — "
-            f"past the retention horizon")
-    return live
-
-
 class _CDCPartition(InputPartition):
     def __init__(self, file_path: str, from_version: int,
                  columns: list[str]):
@@ -109,13 +82,20 @@ class _CDCStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, starting_version: int):
         self.root = root
         self.starting_version = starting_version
+        # The stream's schema is FIXED at planning time — capture the
+        # served column list once here (not per micro-batch): an
+        # implicit additive column committed mid-stream must NOT widen
+        # later batches past the schema the query was planned with
+        # (the executor's Arrow batch would no longer match and fail
+        # with an opaque conversion error instead of serving nulls).
+        self.columns = [c for c, _t in _schema_columns(root)]
 
     # ------------------------------------------------------- offsets --
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        live = _live_snapshots(self.root)
+        live = live_snapshots(self.root)
         last = live[-1]["id"] if live else self.starting_version
         return {"version": max(last, self.starting_version)}
 
@@ -126,17 +106,9 @@ class _CDCStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
         from_v, to_v = start["version"], end["version"]
-        snaps = [s for s in _live_snapshots(self.root, to_v)
+        snaps = [s for s in live_snapshots(self.root, to_v)
                  if s["id"] > from_v]
-        for s in snaps:
-            if (s.get("replaces") and not s.get("preserved_ids")
-                    and any(r <= from_v for r in s["replaces"])):
-                raise ValueError(
-                    f"snapshot_cdc: snapshot {s['id']} is a re-stamping "
-                    f"compaction of {s['replaces']} — row history before "
-                    f"it is collapsed (compact with mode='append' or "
-                    f"keep_versions>1 to keep the changelog streamable)")
-        cols = _schema_columns(self.root)
+        check_delta_range(snaps, from_v, label="stream changes")
         parts: list[InputPartition] = []
         for s in snaps:
             base = os.path.join(self.root, s["path"])
@@ -145,7 +117,7 @@ class _CDCStreamReader(DataSourceStreamReader):
                     if f.endswith(".parquet"):
                         parts.append(_CDCPartition(
                             os.path.join(dirpath, f), from_v,
-                            [c for c, _t in cols]))
+                            self.columns))
         return parts
 
     # ------------------------------------------------------- reading --
@@ -212,7 +184,7 @@ def _schema_columns(root: str) -> list[tuple[str, str]]:
             "snapshot_cdc: table has declared schema-evolution ops; "
             "the streaming changelog serves the written schema only — "
             "use the batch read_changes for evolved tables")
-    live = _live_snapshots(root)
+    live = live_snapshots(root)
     if not live:
         raise ValueError(f"snapshot_cdc: no snapshots under {root}")
     fp = None
@@ -293,8 +265,10 @@ def stream_neardup_index(spark, table_root: str, index_root: str,
       of the (small) batch side — it never shuffles.
     - Deleted urls -> tombstoned OUT of the index (GDPR-style scrub
       the run-integrated wiring cannot do: it only ever sees new
-      batches). Deleted/changed key lists per batch are collected to
-      the driver — both are batch-bounded.
+      batches). The scrub key set stays a DATAFRAME end-to-end
+      (``delete_keys`` semi-joins it inside the commit) — a bootstrap
+      batch serving the whole history, or a mass-delete GDPR sweep,
+      never materializes its keys on the driver.
 
     Returns the StreamingQuery; candidates are derivable at any time by
     matching a batch against the maintained index."""
@@ -315,19 +289,18 @@ def stream_neardup_index(spark, table_root: str, index_root: str,
             last = (batch_df.groupBy("url")
                     .agg(F.max_by(F.struct("_change_type", "text"),
                                   "_commit_version").alias("_last")))
-            dels = [r["url"] for r in
-                    (last.filter(F.col("_last._change_type") == "delete")
-                     .select("url").collect())]
+            dels = (last.filter(F.col("_last._change_type") == "delete")
+                    .select("url"))
             ups = (last.filter(F.col("_last._change_type") != "delete")
                    .select(F.col("url").alias("doc_id"),
                            F.col("_last.text").alias("text")))
             new_bands = band_signatures(bspark, ups).persist()
+            idx_b = replayed = None
             try:
                 # read_live, not read_current: the index is an APPEND
                 # table (one row per band per url) — latest-per-key
                 # would collapse a url's bands to one
                 idx = idx_tbl.read_live(bspark)
-                changed: list = []
                 if idx is not None:
                     # the index's rows for THIS batch's urls only
                     # (batch side broadcast, index streams map-side)
@@ -349,26 +322,30 @@ def stream_neardup_index(spark, table_root: str, index_root: str,
                                .agg(F.count(F.lit(1)).alias("_m")))
                     replayed = (nb_n.join(match_n, "doc_id")
                                 .filter(F.col("_m") == F.col("_n"))
-                                .select("doc_id"))
-                    changed = [r["doc_id"] for r in
-                               (idx_b.select("doc_id").distinct()
-                                .join(replayed, "doc_id", "left_anti")
-                                .collect())]
+                                .select("doc_id").persist())
+                    changed = (idx_b.select("doc_id").distinct()
+                               .join(replayed, "doc_id", "left_anti")
+                               .select(F.col("doc_id").alias("url")))
+                    scrub = dels.unionByName(changed)
                     to_append = new_bands.join(F.broadcast(replayed),
                                                "doc_id", "left_anti")
-                    idx_b.unpersist()
                 else:
+                    scrub = dels
                     to_append = new_bands
                 # tombstones FIRST so changed urls' fresh bands land in
-                # a later snapshot than the tombstone and stay live
-                scrub = sorted(set(dels) | set(changed))
-                if scrub:
+                # a later snapshot than the tombstone and stay live;
+                # scrub stays a DataFrame — no driver-side key list
+                if not scrub.isEmpty():
                     idx_tbl.delete_keys(bspark, scrub)
                 out = to_append.withColumnRenamed("doc_id", "url")
                 if out.limit(1).count():
                     idx_tbl.commit(out)
             finally:
                 new_bands.unpersist()
+                if idx_b is not None:
+                    idx_b.unpersist()
+                if replayed is not None:
+                    replayed.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -410,7 +387,7 @@ def maintain_index_until_current(spark, table_root: str, index_root: str,
     pending, and the next start() re-runs ONLY it, silently excluding
     snapshots committed since. Returns the number of drains."""
     target = 0
-    live = _live_snapshots(table_root)
+    live = live_snapshots(table_root)
     if live:
         target = live[-1]["id"]
     for n in range(1, max_drains + 1):

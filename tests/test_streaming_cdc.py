@@ -235,15 +235,17 @@ def test_snapshot_listing_skips_tmp_manifests(spark, tmp_path):
     streaming source (review finding: a continuously polling stream
     crashed on JSONDecodeError or double-served the snapshot)."""
     import os
-    from resume_parser_service_spark.streaming.cdc import _list_snapshots
+    from resume_parser_service_spark.pipeline.manifests import (
+        list_snapshots)
     root = str(tmp_path / "t")
     tbl = SnapshotTable(root)
     tbl.commit(_df(spark, [("u1", "a", [1.0])]))
     with open(os.path.join(root, "_snapshots", ".tmp-deadbeef.json"),
               "w") as fh:
         fh.write("{ half writ")  # invalid JSON, mid-write
+    # one resolution path for batch and stream (pipeline.manifests)
     assert [s["id"] for s in tbl.snapshots()] == [1]
-    assert [s["id"] for s in _list_snapshots(root)] == [1]
+    assert [s["id"] for s in list_snapshots(root)] == [1]
 
 
 def test_stream_serves_timestamp_columns(spark, tmp_path):
@@ -317,6 +319,60 @@ def test_stream_serves_nested_timestamps(spark, tmp_path):
     [row] = spark.sql(f"select * from {name}").collect()
     assert row["meta"]["fetched_at"] == ts
     assert row["ts_list"] == [ts]
+
+
+def test_neardup_index_scrub_never_collects_keys(spark, tmp_path):
+    """A bootstrap/mass-delete batch must keep the scrub key set
+    DISTRIBUTED: the whole foreachBatch body (band diff, tombstone
+    scrub via delete_keys, append) runs with DataFrame.collect and
+    toPandas BANNED on the driver. A driver-side key list (the r4
+    shape) would fail here on the 300-url delete sweep."""
+    from pyspark.sql import DataFrame as _DF
+    from resume_parser_service_spark.streaming.cdc import (
+        stream_neardup_index)
+    root, idx, cp = (str(tmp_path / "t"), str(tmp_path / "idx"),
+                     str(tmp_path / "cp"))
+    tbl = SnapshotTable(root)
+    rows = [(f"u{i}", f"w{i} x{i} y{i} z{i} common tail {i % 7}", [1.0])
+            for i in range(300)]
+    tbl.commit(_df(spark, rows))
+    tbl.delete_keys(spark, [f"u{i}" for i in range(0, 300, 2)])
+
+    real_collect, real_topd = _DF.collect, _DF.toPandas
+
+    def _banned(self, *a, **k):
+        raise AssertionError(
+            "driver materialization inside the CDC index maintainer")
+
+    _DF.collect = _banned
+    _DF.toPandas = _banned
+    try:
+        q = stream_neardup_index(spark, root, idx, cp)
+        q.awaitTermination(180)
+        q.stop()
+    finally:
+        _DF.collect, _DF.toPandas = real_collect, real_topd
+    live = {r[0] for r in _index_rows(spark, idx)}
+    assert live == {f"u{i}" for i in range(1, 300, 2)}
+
+
+def test_delete_keys_accepts_dataframe(spark, tmp_path):
+    """SnapshotTable.delete_keys with a DataFrame key set: semi-join
+    inside the commit, same tombstone semantics as the list form (any
+    single-column frame works — the column is renamed to the key)."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0]),
+                           ("u3", "c", [3.0])]))
+    keys = spark.createDataFrame(
+        [("u1",), ("u3",), ("u3",), ("missing",)], "k string")
+    snap = tbl.delete_keys(spark, keys)
+    assert snap == 2
+    assert [r["url"] for r in
+            tbl.read_current(spark).collect()] == ["u2"]
+    # all-miss key frame: no empty tombstone snapshot
+    assert tbl.delete_keys(
+        spark, spark.createDataFrame([("nope",)], "k string")) is None
 
 
 def test_maintain_index_cli(spark, tmp_path, capsys):
