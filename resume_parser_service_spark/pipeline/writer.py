@@ -83,11 +83,16 @@ class SnapshotTable:
     # operation log (_schema/evolution.json) records add/rename/drop/
     # widen ops; every commit stamps the log length as its
     # schema_version, and reads transform each snapshot's frame from
-    # its version to the current schema before the union. Differences
-    # vs Iceberg, documented: time travel reads with the CURRENT
-    # schema (Iceberg uses the snapshot's own), and rename is
-    # name-mapping-based, so it cannot distinguish a rename from a
-    # drop+add done in one step — do them as separate ops.
+    # its version to the TARGET schema before the union — the current
+    # log head for current reads, the as-of snapshot's own recorded
+    # schema_version for time travel (Iceberg serves each snapshot in
+    # its own schema; so does this). Difference vs Iceberg, documented:
+    # rename is name-mapping-based rather than field-ID-based, so it
+    # cannot distinguish a rename from a drop+add done in ONE step —
+    # do them as separate ops (the op log applies them in declaration
+    # order, which also makes rename-to-a-previously-dropped-name
+    # well-defined: the drop projects the old physical column away
+    # before the rename maps the new one in — covered by test).
 
     @property
     def _evolution_path(self) -> str:
@@ -228,14 +233,18 @@ class SnapshotTable:
             {"op": "widen", "name": name, "type": dtype})
 
     def _apply_evolution(self, df: DataFrame, from_version: int,
-                         ops: list[dict]) -> DataFrame:
+                         ops: list[dict],
+                         to_version: int | None = None) -> DataFrame:
         """Transform a snapshot's frame from the schema it was written
-        under to the current schema (ops recorded after it). ``ops``
-        is passed in so a multi-snapshot read loads the log ONCE."""
+        under to the target schema: ops in (``from_version``,
+        ``to_version``] — ``None`` = the current log head. ``ops`` is
+        passed in so a multi-snapshot read loads the log ONCE."""
         from pyspark.sql import functions as F
         for op in ops:
             if op["version"] <= from_version:
                 continue
+            if to_version is not None and op["version"] > to_version:
+                break  # ops are in declaration order
             kind = op["op"]
             if kind == "rename" and op["old"] in df.columns:
                 df = df.withColumnRenamed(op["old"], op["new"])
@@ -381,16 +390,24 @@ class SnapshotTable:
     # ------------------------------------------------------------- read --
     def read(self, spark: SparkSession, version: int | None = None
              ) -> DataFrame | None:
-        """Union of snapshots up to ``version`` (time travel, read with
-        the CURRENT schema after evolution). Compacted snapshots are
-        read via their compaction; expired ones raise."""
-        return self._read_snaps(spark, self.live_snapshots(version))
+        """Union of snapshots up to ``version``. Time travel serves the
+        as-of snapshot's OWN schema (Iceberg semantics: each snapshot
+        manifest records the schema_version it was committed under, and
+        evolution ops declared after it are not applied); current reads
+        serve the full op log. Compacted snapshots are read via their
+        compaction; expired ones raise."""
+        snaps = self.live_snapshots(version)
+        target = None
+        if version is not None and snaps:
+            target = max(s.get("schema_version", 0) for s in snaps)
+        return self._read_snaps(spark, snaps, to_version=target)
 
-    def _read_snaps(self, spark: SparkSession, snaps: list[dict]
-                    ) -> DataFrame | None:
-        """Union an explicit snapshot list (current-schema transform
-        applied per snapshot) — the scan body of ``read``, also used by
-        ``read_changes`` to touch only the in-range snapshots."""
+    def _read_snaps(self, spark: SparkSession, snaps: list[dict],
+                    to_version: int | None = None) -> DataFrame | None:
+        """Union an explicit snapshot list (each frame transformed from
+        ITS schema version to ``to_version``; None = current) — the
+        scan body of ``read``, also used by ``read_changes`` to touch
+        only the in-range snapshots."""
         if not snaps:
             return None
         ops = self._evolution()  # loaded ONCE per read
@@ -409,7 +426,8 @@ class SnapshotTable:
             if self.buckets:
                 reader = reader.option("basePath", p)
             part = self._apply_evolution(reader.parquet(p),
-                                         s.get("schema_version", 0), ops)
+                                         s.get("schema_version", 0), ops,
+                                         to_version)
             df = part if df is None else df.unionByName(
                 part, allowMissingColumns=True)
         return df

@@ -1,9 +1,10 @@
 """SnapshotTable schema evolution: add (with default), rename, drop,
 widen — declared ops recorded in _schema/evolution.json, applied per
 snapshot on read (each snapshot transforms from the schema_version it
-was committed under to the current schema). Iceberg ALTER TABLE
-semantics with two documented deltas: time travel reads with the
-CURRENT schema, and rename is name-mapping-based."""
+was committed under to the read's target schema: the current log head,
+or the as-of snapshot's own schema for time travel, Iceberg-style).
+One documented delta vs Iceberg: rename is name-mapping-based, not
+field-ID-based."""
 
 import pytest
 from pyspark.sql import Row
@@ -100,16 +101,52 @@ def test_compaction_rewrites_under_current_schema(spark, tmp_path):
     assert t.read_current(spark).count() == 3
 
 
-def test_time_travel_reads_current_schema(spark, tmp_path):
-    """Documented delta vs Iceberg: time travel transforms old
-    snapshots to the CURRENT schema (Iceberg serves the snapshot's
-    own schema)."""
+def test_time_travel_serves_snapshot_own_schema(spark, tmp_path):
+    """Iceberg semantics: each snapshot manifest records the
+    schema_version it was committed under, and a time-travel read
+    serves THAT schema — ops declared later (rename, add) must not
+    leak backwards into the historical view."""
     t = SnapshotTable(str(tmp_path / "t"))
     v1 = t.commit(_mkdf(spark, [{"url": "a", "s": 1}]))
     t.rename_column("s", "q")
-    t.commit(_mkdf(spark, [{"url": "b", "q": 2}]))
+    t.add_column("lang", "string", default="und")
+    v2 = t.commit(_mkdf(spark, [{"url": "b", "q": 2, "lang": "en"}]))
     old = t.read_current(spark, version=v1)
-    assert "q" in old.columns and old.count() == 1
+    cols = set(old.columns) - {"_snapshot_id"}
+    assert cols == {"url", "s"}  # pre-rename, pre-add
+    assert old.first()["s"] == 1
+    # as-of v2 the rename/add are in that snapshot's schema...
+    mid = t.read_current(spark, version=v2)
+    assert {"q", "lang"} <= set(mid.columns) and "s" not in mid.columns
+    # ...and ops declared after v2 are not: current read has them
+    t.add_column("flag", "boolean", default=False)
+    assert "flag" not in t.read_current(spark, version=v2).columns
+    t.commit(_mkdf(spark, [{"url": "c", "q": 3, "lang": "fr",
+                            "flag": True}]))
+    assert "flag" in t.read_current(spark).columns
+
+
+def test_rename_to_previously_dropped_name(spark, tmp_path):
+    """The field-ID hazard class the name-mapping design is exposed
+    to: drop column b, later rename a -> b. The op log applies in
+    declaration order, so historical files' OLD physical b is
+    projected away BEFORE a maps onto the name — the revived name must
+    serve a's values everywhere, never the dropped column's bytes."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_mkdf(spark, [{"url": "u1", "a": 1, "b": 100}]))
+    t.drop_column("b")
+    t.commit(_mkdf(spark, [{"url": "u2", "a": 2}]))
+    t.rename_column("a", "b")
+    t.commit(_mkdf(spark, [{"url": "u3", "b": 3}]))
+    cur = t.read_current(spark)
+    assert set(cur.columns) - {"_snapshot_id"} == {"url", "b"}
+    assert {r["url"]: r["b"] for r in cur.collect()} == \
+        {"u1": 1, "u2": 2, "u3": 3}  # u1.b is a's value, not 100
+    # point lookup and version history agree
+    assert t.point_lookup(spark, "u1").first()["b"] == 1
+    # time travel before the drop still serves the ORIGINAL b
+    old = t.read_current(spark, version=1)
+    assert {r["b"] for r in old.collect()} == {100}
 
 
 def test_merge_upsert_diff_works_across_rename(spark, tmp_path):
