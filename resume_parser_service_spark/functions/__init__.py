@@ -48,11 +48,16 @@ def minhash(text: Column | str, n_hashes: int = 4) -> Column:
 
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two float-array columns (double math)."""
+    """Cosine similarity of two float-array columns (double math).
+    Mixed-length pairs zero-pad the shorter side (zip_with null-pads,
+    the product coalesces to 0) instead of folding to NULL."""
     a, b = F.col(a) if isinstance(a, str) else a, \
         F.col(b) if isinstance(b, str) else b
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
+    dot = F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: F.coalesce(x.cast("double") * y,
+                                           F.lit(0.0))),
+        F.lit(0.0), lambda acc, v: acc + v)
     # try_divide: a zero vector yields NULL instead of an ANSI-mode
     # DIVIDE_BY_ZERO that kills the stage
     return F.try_divide(dot, l2_norm(a) * l2_norm(b))

@@ -243,7 +243,9 @@ def _cand_dot(dialect: str) -> str:
         return """
   SELECT c.vec_a, c.vec_b,
          aggregate(zip_with(ea.embedding, eb.embedding,
-                            (x, y) -> cast(x as double) * cast(y as double)),
+                            (x, y) -> coalesce(cast(x as double) *
+                                               cast(y as double),
+                                               cast(0 as double))),
                    cast(0 as double), (acc, z) -> acc + z) AS dot
   FROM cand c
   JOIN embeddings ea ON ea.vec_id = c.vec_a
@@ -282,7 +284,12 @@ def _cosine_pairs_sql(dialect: str, threshold: float = 0.45,
     projection / norm / verify dot runs as a zip_with+aggregate fold
     over the packed embedding array inside whole-stage codegen — the
     only shuffles left are the (vec_id, band, bucket) frame and the
-    band self-join, both O(N), never O(N x d). (Measured identical
+    band self-join, both O(N), never O(N x d). Mixed-length corpora are
+    safe: zip_with null-pads the shorter side to the max-d plane vector
+    (or the longer pair member), and every fold coalesces the products
+    to 0 — ZERO-padding, the exact semantics of the oracle's
+    expanded-element sum, instead of a NULL fold silently dropping the
+    vector (review finding). (Measured identical
     output and ~40% lower wall vs the expanded-element formulation at
     sf0.1, interleaved A/B; the element products are exact in double
     — float32 x small-int needs < 53 mantissa bits — so fold order
@@ -332,7 +339,8 @@ pwv AS (
 pdots AS (
   SELECT e.vec_id, pwv.p,
          aggregate(zip_with(e.embedding, pwv.wvec,
-                            (x, y) -> cast(x as double) * y),
+                            (x, y) -> coalesce(cast(x as double) * y,
+                                               cast(0 as double))),
                    cast(0 as double), (acc, z) -> acc + z) AS dot
   FROM embeddings e CROSS JOIN pwv
 ),
@@ -399,7 +407,9 @@ q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
 dots AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          aggregate(zip_with(q.embedding, e.embedding,
-                            (x, y) -> cast(x as double) * cast(y as double)),
+                            (x, y) -> coalesce(cast(x as double) *
+                                               cast(y as double),
+                                               cast(0 as double))),
                    cast(0 as double), (acc, z) -> acc + z) AS dot
   FROM embeddings e CROSS JOIN q
   WHERE q.vec_id <> e.vec_id
@@ -464,7 +474,8 @@ pwv AS (
 dots AS (
   SELECT e.vec_id, pwv.p,
          aggregate(zip_with(e.embedding, pwv.wvec,
-                            (x, y) -> cast(x as double) * y),
+                            (x, y) -> coalesce(cast(x as double) * y,
+                                               cast(0 as double))),
                    cast(0 as double), (acc, z) -> acc + z) AS dot
   FROM embeddings e CROSS JOIN pwv
 )

@@ -54,7 +54,11 @@ def _parquet_dim(path: str, col: str = "embedding") -> int:
 
 
 def _dot(a: str, b: str):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+    # coalesce: a corpus vector shorter than the trained centroid
+    # zero-pads instead of folding the whole dot to NULL
+    return F.aggregate(F.zip_with(a, b,
+                                  lambda x, y: F.coalesce(x * y,
+                                                          F.lit(0.0))),
                        F.lit(0.0).cast("double"),
                        lambda acc, v: acc + v)
 

@@ -276,3 +276,36 @@ def test_vector_queries_never_explode_embeddings(spark):
         plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
         assert "posexplode" not in plan
         assert "zip_with" in plan or "aggregate(" in plan
+
+
+def test_vector_queries_zero_pad_mixed_length(spark):
+    """A corpus vector SHORTER than the table max must not silently
+    drop out of buckets/neighbors (review finding: zip_with null-pads
+    the short side against the max-d plane vector, and an un-coalesced
+    fold returned NULL, eating the row). The packed folds coalesce the
+    products to 0 — zero-padding, the exact semantics of the oracle's
+    expanded-element sum."""
+    import re
+
+    from resume_parser_service_spark.operators.catalog import (
+        _ann_topk_sql, _lsh_bucket_sql)
+    rows = [(i, [float(i + j) - 1.5 for j in range(4)]) for i in range(4)]
+    rows.append((9, [0.5, -1.0, 2.0]))  # one short (3-dim) vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.createOrReplaceTempView("emb_mixed")  # never the catalog name
+    lsh = spark.sql(re.sub(r"\bembeddings\b", "emb_mixed",
+                           _lsh_bucket_sql("spark"))).collect()
+    assert {r["vec_id"] for r in lsh} == {0, 1, 2, 3, 9}
+    assert all(r["bucket"] is not None for r in lsh)
+    ann = spark.sql(re.sub(r"\bembeddings\b", "emb_mixed",
+                           _ann_topk_sql("spark"))).collect()
+    assert 9 in {r["neighbor_id"] for r in ann}
+
+
+def test_cosine_sim_zero_pads_mixed_length(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1.0, 2.0, 2.0]], "b": [[1.0, 2.0]]}),
+        "a array<float>, b array<float>")
+    got = df.select(X.cosine_sim("a", "b").alias("c")).first()["c"]
+    # dot = 1*1 + 2*2 + 2*0 = 5; |a| = 3, |b| = sqrt(5)
+    assert got == pytest.approx(5.0 / (3.0 * 5.0 ** 0.5))

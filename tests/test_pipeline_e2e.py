@@ -109,11 +109,21 @@ def test_idempotent_resume(spark, corpus):
     assert stats2["extracted"] == 0
 
 
+def _incremental_stats(spark, corpus):
+    """Run the incremental resume (snapshot 2) EXACTLY ONCE per corpus,
+    memoized, so every test that needs snapshot 2 is self-sufficient
+    and order-independent (review finding: the downstream tests died
+    with AttributeError when run in isolation via -k)."""
+    if "incr_stats" not in corpus:
+        new_pages = build_pages_df(spark, N_DOCS + 20, with_fixtures=False)
+        corpus["incr_stats"] = run_extraction_job(
+            spark, new_pages, str(corpus["root"] / "out"),
+            salt_partitions=8)
+    return corpus["incr_stats"]
+
+
 def test_incremental_resume_processes_only_new(spark, corpus):
-    new_pages = build_pages_df(spark, N_DOCS + 20, with_fixtures=False)
-    stats3 = run_extraction_job(spark, new_pages,
-                                str(corpus["root"] / "out"),
-                                salt_partitions=8)
+    stats3 = _incremental_stats(spark, corpus)
     assert stats3["resumed_noop"] is False
     # only the 20 new docs (plus any new dups) are processed
     assert 20 <= stats3["extracted"] <= 22
@@ -121,6 +131,7 @@ def test_incremental_resume_processes_only_new(spark, corpus):
 
 
 def test_time_travel_read(spark, corpus):
+    _incremental_stats(spark, corpus)
     tbl = SnapshotTable(str(corpus["root"] / "out/resumes_extracted"))
     v1 = tbl.read(spark, version=1).count()
     latest = tbl.read(spark).count()
@@ -131,6 +142,7 @@ def test_changelog_serves_incremental_batch_only(spark, corpus):
     """CDC consumption of the extraction table: a downstream consumer
     checkpointed at snapshot 1 reads exactly the rows the incremental
     resume committed as snapshot 2 — never the pre-checkpoint bulk."""
+    _incremental_stats(spark, corpus)
     tbl = SnapshotTable(str(corpus["root"] / "out/resumes_extracted"))
     v1 = tbl.read(spark, version=1).count()
     latest = tbl.read(spark).count()
