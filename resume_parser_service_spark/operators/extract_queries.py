@@ -115,16 +115,23 @@ def _pdf_roundtrip_kernel(batches: Iterator) -> Iterator:
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition before a CPU-bound Python kernel.
+    """Round-robin repartition before a CPU-bound Python kernel —
+    GATED on the scan actually being under-split.
 
     The small-SF ``documents`` parquet is one file under
-    ``maxPartitionBytes``, so without this the whole mapInPandas stage
-    runs on ONE core (measured: rasterize_pages 48.9 s serial vs the
-    sub-10 s spread shape at sf0.1). Same reason the extraction
-    pipeline salts before its kernel (pipeline/extract.py); at 100 TB
-    the scan has thousands of natural splits and this one extra
-    exchange of (doc_id, text) rows is noise next to the kernel CPU."""
-    return df.repartition(spark.sparkContext.defaultParallelism * 2)
+    ``maxPartitionBytes``, so without the exchange the whole
+    mapInPandas stage runs on ONE core (measured: rasterize_pages
+    48.9 s serial vs the sub-10 s spread shape at sf0.1). At 100 TB the
+    scan has thousands of natural splits that already cover every core
+    — there the exchange of (doc_id, text) rows is pure cost, so it is
+    only paid when the planned scan yields fewer partitions than the
+    cluster has slots (same pattern as the product pipeline's gated
+    ``salt_input=``). ``df.rdd.getNumPartitions()`` is plan-time only —
+    no job runs."""
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= slots:
+        return df
+    return df.repartition(slots * 2)
 
 
 def _q_extract_html_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
