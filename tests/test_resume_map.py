@@ -303,30 +303,49 @@ def test_reference_golden_section_recall_floors():
 
     if not os.path.exists("/root/reference/cv_output/worse.json"):
         pytest.skip("reference goldens not present")
-    floors = {  # (personal, education, experience) min-ratios
-        # personal is 1.0 everywhere since map-1.6.0 (country from
-        # stated nationality + city table, full address render, dial
-        # prefix from country, github.io, trunk-(0) collapse).
-        # CVENG experience: 44/48 — the misses are the golden's own
-        # typo fix ("Scholarship" for the PDF's "Scolarship") and LLM
-        # reassembly of column-split cells (map-1.5.0 Europass
+    floors = {  # (pdf, golden) -> (personal, education, experience)
+        # personal is 1.0 on the canonicals since map-1.6.0 (country
+        # from stated nationality + city table, full address render,
+        # dial prefix from country, github.io, trunk-(0) collapse).
+        # CVENG/worse experience: 44/48 — the misses are the golden's
+        # own typo fix ("Scholarship" for the PDF's "Scolarship") and
+        # LLM reassembly of column-split cells (map-1.5.0 Europass
         # grid reconstruction)
-        "CVENG.pdf": (1.0, 1.0, 44 / 48),
-        "FedericoElia.pdf": (1.0, 1.0, 11 / 12),
-        "resume2.pdf": (1.0, 1.0, 1.0),
+        ("CVENG.pdf", "worse.json"): (1.0, 1.0, 44 / 48),
+        ("FedericoElia.pdf", "resume.json"): (1.0, 1.0, 11 / 12),
+        ("resume2.pdf", "both_resume2.json"): (1.0, 1.0, 1.0),
+        # cross-variant adjudication floors (r5, verdict item 6): the
+        # alt-pipeline goldens that do NOT carry the canonical
+        # goldens' known typos agree FULLY — proof the residual
+        # canonical misses are golden noise, not mapper gaps.
+        # FedericoElia: resume.json's one miss is its 11/2022 date
+        # typo (the PDF reads 11/2023); these two variants have the
+        # PDF's date and score 12/12.
+        ("FedericoElia.pdf", "resume_quasi_perfetto.json"):
+            (None, 1.0, 1.0),
+        ("FedericoElia.pdf", "resume_wLinks.json"): (None, 1.0, 1.0),
+        # CVENG: the mini-model variant without cell reassembly
+        # agrees on every scalar experience field it extracted
+        ("CVENG.pdf", "no_intermediary_ai_mini.json"): (None, None, 1.0),
     }
-    for pdf, golden in CASES.items():
+    mapped = {}
+    for pdf in CASES:
         r = extract_pdf(open(f"/root/reference/{pdf}", "rb").read())
-        ours = map_resume(r["text"], r["links"])
+        mapped[pdf] = map_resume(r["text"], r["links"])
+    for (pdf, golden), mins in floors.items():
+        assert golden.rstrip("*") in [g.rstrip("*") for g in CASES[pdf]]
+        ours = mapped[pdf]
         ref = json.load(open(f"/root/reference/cv_output/{golden}"))
         for sec, floor in zip(("personal_information",
                                "education_details",
-                               "experience_details"), floors[pdf]):
+                               "experience_details"), mins):
+            if floor is None:
+                continue
             got, exp = ours.get(sec), ref.get(sec)
             if sec == "personal_information":
                 got, exp = [got] if got else [], [exp] if exp else []
             m, t = section_recall(got, exp)
-            assert t == 0 or m / t >= floor, (pdf, sec, m, t)
+            assert t == 0 or m / t >= floor, (pdf, golden, sec, m, t)
 
 
 def test_reference_golden_section_recall():

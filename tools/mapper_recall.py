@@ -10,6 +10,18 @@ skills_acquired) and the golden's LLM-INFERRED fields (e.g. `industry`
 are excluded: a deterministic extractor can only be graded on what the
 document states.
 
+All 16 reference goldens are covered (r4 verdict item 6), mapped to
+their source PDF by contact identity (name+email in the extracted
+text): 10 are CVENG.pdf variants (Lorenzo Foschi), 4 FedericoElia.pdf
+(Federico Elia), 2 resume2.pdf (Christoper Robinson). NO golden maps
+to resume1.pdf or resume3.pdf — those two fixtures keep their frozen
+self-goldens in tests/golden/. The per-PDF CANONICAL golden (the
+ratcheted floor in tests/test_resume_map.py) is the variant with the
+most complete agreement with the PDF bytes; the other variants are
+alt-pipeline runs (different models/OCR: *_4o, *_mini, easyocr,
+azure) whose rows adjudicate how much of any miss is golden noise vs
+mapper gap.
+
 Usage: python tools/mapper_recall.py
 """
 
@@ -25,10 +37,19 @@ from resume_parser_service_spark.kernels.pdf_text import extract_pdf  # noqa: E4
 from resume_parser_service_spark.kernels.resume_map import map_resume  # noqa: E402
 
 REF = "/root/reference"
-CASES = {  # pdf fixture -> reference golden with matching casing
-    "CVENG.pdf": "worse.json",
-    "FedericoElia.pdf": "resume.json",
-    "resume2.pdf": "both_resume2.json",
+# pdf fixture -> ALL reference goldens produced from it (identity-
+# matched; '*' marks the canonical golden used for the ratcheted
+# pytest floors)
+CASES = {
+    "CVENG.pdf": ["worse.json*", "better.json", "both.json", "fico.json",
+                  "non_fico.json", "no_intermediary_ai_4o.json",
+                  "no_intermediary_ai_mini.json", "resume_4o.json",
+                  "resume_azure_4o.json", "resume_easyocr.json"],
+    "FedericoElia.pdf": ["resume.json*", "fede-resume.json",
+                         "resume_quasi_perfetto.json",
+                         "resume_wLinks.json"],
+    "resume2.pdf": ["both_resume2.json*",
+                    "no_intermediary_ai_mini_resume2.json"],
 }
 # golden fields the reference's LLM inferred rather than extracted
 INFERRED = {"industry"}
@@ -52,30 +73,42 @@ def section_recall(ours: list | None, ref: list | None,
     return matched, total
 
 
-def main() -> None:
+def recall_rows() -> list[dict]:
     rows = []
-    for pdf, golden in CASES.items():
+    for pdf, goldens in CASES.items():
         r = extract_pdf(open(f"{REF}/{pdf}", "rb").read())
         ours = map_resume(r["text"], r["links"])
-        ref = json.load(open(f"{REF}/cv_output/{golden}"))
-        row = {"pdf": pdf, "golden": golden}
-        for sec in ("education_details", "experience_details"):
-            m, t = section_recall(ours.get(sec), ref.get(sec))
-            row[sec] = f"{m}/{t}" + (f" ({m / t:.2f})" if t else "")
-        pi_m, pi_t = section_recall([ours["personal_information"] or {}],
-                                    [ref["personal_information"] or {}])
-        row["personal"] = f"{pi_m}/{pi_t}" + (f" ({pi_m / pi_t:.2f})"
-                                              if pi_t else "")
-        row["languages"] = ("exact" if ours.get("languages")
-                            == ref.get("languages") else "DIFF")
-        rows.append(row)
+        for golden in goldens:
+            canonical = golden.endswith("*")
+            golden = golden.rstrip("*")
+            ref = json.load(open(f"{REF}/cv_output/{golden}"))
+            row = {"pdf": pdf, "golden": golden, "canonical": canonical}
+            for sec in ("education_details", "experience_details"):
+                m, t = section_recall(ours.get(sec), ref.get(sec))
+                row[sec] = (m, t)
+            pi = section_recall([ours["personal_information"] or {}],
+                                [ref["personal_information"] or {}])
+            row["personal"] = pi
+            row["languages"] = (ours.get("languages")
+                                == ref.get("languages"))
+            rows.append(row)
+    return rows
+
+
+def main() -> None:
+    def fmt(mt):
+        m, t = mt
+        return f"{m}/{t}" + (f" ({m / t:.2f})" if t else "")
+
     print("| PDF | golden | personal | education | experience |"
           " languages |")
     print("|---|---|---|---|---|---|")
-    for r in rows:
-        print(f"| {r['pdf']} | {r['golden']} | {r['personal']} "
-              f"| {r['education_details']} | {r['experience_details']} "
-              f"| {r['languages']} |")
+    for r in recall_rows():
+        star = " *" if r["canonical"] else ""
+        print(f"| {r['pdf']} | {r['golden']}{star} | {fmt(r['personal'])} "
+              f"| {fmt(r['education_details'])} "
+              f"| {fmt(r['experience_details'])} "
+              f"| {'exact' if r['languages'] else 'DIFF'} |")
 
 
 if __name__ == "__main__":
