@@ -50,6 +50,10 @@ FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
 
 MAX_ROUNDS = 20
 
+# rounds the last label-propagation call took to converge (scale
+# diagnostics: BENCH growth-curve probes report rounds alongside wall)
+LAST_ROUNDS: int | None = None
+
 log = logging.getLogger(__name__)
 
 
@@ -130,10 +134,12 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
                                    .cast("decimal(38,0)")))
                    .collect()[0][0] or 0)
 
+    global LAST_ROUNDS
+    LAST_ROUNDS = None
     prev_sum = label_sum(labels)
     try:
         converged = False
-        for _ in range(1, MAX_ROUNDS + 1):
+        for rnd in range(1, MAX_ROUNDS + 1):
             neigh = (sym.join(labels, sym.dst == labels.doc_id)
                      .groupBy(F.col("src").alias("doc_id"))
                      .agg(F.min("cluster_id").alias("cluster_id")))
@@ -166,6 +172,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
             labels = new_labels
             if new_sum == prev_sum:
                 converged = True
+                LAST_ROUNDS = rnd
                 break
             prev_sum = new_sum
         if not converged:
