@@ -127,7 +127,17 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     only paid when the planned scan yields fewer partitions than the
     cluster has slots (same pattern as the product pipeline's gated
     ``salt_input=``). ``df.rdd.getNumPartitions()`` is plan-time only —
-    no job runs."""
+    no job runs.
+
+    Residual (accepted): the gate counts splits, not balance. A scan
+    with >= slots partitions where one holds most ROWS skips the
+    exchange and runs lopsided. At scale ``maxPartitionBytes`` bounds
+    per-partition BYTES — a fat file surfaces as MORE partitions, not
+    fatter ones — so the exposure is the small-corpus case of many
+    tiny files plus one mid-size (sub-``maxPartitionBytes``) file,
+    whose serial tail is itself bounded by that byte cap. Skewed
+    per-row COST (not size) is what the product pipeline's
+    ``salt_input=`` exists for."""
     slots = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= slots:
         return df

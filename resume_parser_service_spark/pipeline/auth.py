@@ -113,8 +113,12 @@ def verify_jwt_token(token: str, secret: str, *,
     if len(parts) != 3:
         raise AuthenticationError(
             "Invalid token: malformed", reason="invalid_token")
-    header = json.loads(_b64url_decode(parts[0]) or b"{}")
-    if header.get("alg") != "HS256":
+    try:
+        header = json.loads(_b64url_decode(parts[0]) or b"{}")
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise AuthenticationError(
+            f"Invalid token: {exc}", reason="invalid_token") from exc
+    if not isinstance(header, dict) or header.get("alg") != "HS256":
         # algorithm confusion (e.g. alg=none) is an invalid token here,
         # same as jose restricting algorithms=[settings.algorithm]
         raise AuthenticationError(
@@ -129,10 +133,22 @@ def verify_jwt_token(token: str, secret: str, *,
     except (ValueError, UnicodeDecodeError) as exc:
         raise AuthenticationError(
             f"Invalid token: {exc}", reason="invalid_token") from exc
+    if not isinstance(payload, dict):
+        raise AuthenticationError(
+            "Invalid token: payload is not an object",
+            reason="invalid_token")
     if "exp" not in payload:
         raise AuthenticationError(
             "Token missing required claims", reason="missing_claim")
-    if now >= float(payload["exp"]):
+    try:
+        exp = float(payload["exp"])
+    except (TypeError, ValueError) as exc:
+        # a validly-signed token with a non-numeric exp (non-conforming
+        # minter sharing the secret) stays inside the taxonomy
+        raise AuthenticationError(
+            "Invalid token: non-numeric exp claim",
+            reason="invalid_token") from exc
+    if now >= exp:
         raise AuthenticationError(
             "Token has expired", reason="token_expired")
     if expected_type is not None and payload.get("type") != expected_type:
@@ -160,10 +176,12 @@ def get_current_user(token: str, secret: str, *,
 
 
 def _require_col(df: DataFrame, user_col: str) -> None:
+    # a missing scope column is a pipeline WIRING bug, not a token
+    # failure — keep it out of the JWT reason taxonomy so consumers
+    # keying alerts on token reasons don't misclassify a code bug
     if user_col not in df.columns:
-        raise AuthenticationError(
-            f"cannot scope: dataframe has no '{user_col}' column",
-            reason="missing_claim")
+        raise ValueError(
+            f"cannot scope: dataframe has no '{user_col}' column")
 
 
 def scope_to_user(df: DataFrame, token: str, secret: str, *,

@@ -725,8 +725,15 @@ class SnapshotTable:
         if cur is None:
             return None
         if isinstance(keys, DataFrame):
-            key_df = (keys.selectExpr(f"{keys.columns[0]} AS "
-                                      f"{self.key_col}").distinct())
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    f"delete_keys: expected a single-column key frame, "
+                    f"got columns {keys.columns}")
+            # F.col(...).alias, not selectExpr string-splicing: key
+            # frames named with reserved words / non-identifiers
+            # ('order', 'user key') must still parse
+            key_df = (keys.select(F.col(keys.columns[0])
+                                  .alias(self.key_col)).distinct())
             victims = cur.join(key_df, self.key_col, "left_semi") \
                 .withColumn("_deleted", F.lit(True))
         else:

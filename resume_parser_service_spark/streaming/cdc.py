@@ -79,16 +79,19 @@ class _CDCPartition(InputPartition):
 
 
 class _CDCStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, starting_version: int):
+    def __init__(self, root: str, starting_version: int,
+                 columns: list[str] | None = None):
         self.root = root
         self.starting_version = starting_version
-        # The stream's schema is FIXED at planning time — capture the
-        # served column list once here (not per micro-batch): an
-        # implicit additive column committed mid-stream must NOT widen
-        # later batches past the schema the query was planned with
+        # The stream's schema is FIXED at planning time — serve the
+        # column list Catalyst PLANNED with (passed down from
+        # streamReader), never one re-derived from disk: an implicit
+        # additive column committed between planning and reader
+        # construction must NOT widen batches past the planned schema
         # (the executor's Arrow batch would no longer match and fail
         # with an opaque conversion error instead of serving nulls).
-        self.columns = [c for c, _t in _schema_columns(root)]
+        self.columns = (columns if columns is not None
+                        else [c for c, _t in _schema_columns(root)])
 
     # ------------------------------------------------------- offsets --
     def initialOffset(self) -> dict:
@@ -106,6 +109,17 @@ class _CDCStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
         from_v, to_v = start["version"], end["version"]
+        # fail-loud EVERY batch, not just at open: a rename/drop/widen
+        # op declared mid-stream would otherwise silently serve NULLs
+        # for the renamed column via read()'s file-predates-column
+        # branch (that branch exists for implicit additive columns only)
+        if os.path.exists(os.path.join(self.root, "_schema",
+                                       "evolution.json")):
+            raise ValueError(
+                "snapshot_cdc: schema-evolution ops were declared "
+                "mid-stream; the streaming changelog serves the written "
+                "schema only — use the batch read_changes for evolved "
+                "tables")
         snaps = [s for s in live_snapshots(self.root, to_v)
                  if s["id"] > from_v]
         check_delta_range(snaps, from_v, label="stream changes")
@@ -224,9 +238,15 @@ class SnapshotCDCDataSource(DataSource):
         return ", ".join(f"{c} {t}" for c, t in _schema_columns(root))
 
     def streamReader(self, schema) -> _CDCStreamReader:
+        # `schema` is the StructType Catalyst planned the query with —
+        # hand its field names to the reader so served batches always
+        # match the planned schema exactly (see _CDCStreamReader.__init__)
+        cols = ([f.name for f in schema.fields]
+                if hasattr(schema, "fields") else None)
         return _CDCStreamReader(
             self.options["path"],
-            int(self.options.get("startingVersion", 0)))
+            int(self.options.get("startingVersion", 0)),
+            columns=cols)
 
 
 def stream_changes(spark, root: str, starting_version: int = 0):

@@ -111,6 +111,52 @@ def test_malformed_tokens_rejected():
             verify_jwt_token(bad, SECRET, now=T0)
 
 
+def test_non_json_segments_stay_in_taxonomy():
+    """Valid base64 that is not a JSON object (header or payload) must
+    raise AuthenticationError, never a bare JSONDecodeError or
+    AttributeError — every pre-signature parse failure is
+    attacker-reachable."""
+    import base64
+
+    def seg(raw: bytes) -> str:
+        return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+    for tok in (
+        seg(b"hello") + "." + seg(b"{}") + ".AAAA",   # header not JSON
+        seg(b"[1]") + "." + seg(b"{}") + ".AAAA",     # header not a dict
+    ):
+        with pytest.raises(AuthenticationError) as ei:
+            verify_jwt_token(tok, SECRET, now=T0)
+        assert ei.value.reason == "invalid_token"
+
+
+def _forge_signed(payload_raw: bytes) -> str:
+    """A token with an arbitrary payload segment, VALIDLY signed with
+    the test secret (non-conforming minter sharing the key)."""
+    from resume_parser_service_spark.pipeline.auth import _b64url, _sign
+    import json as _json
+    head = _b64url(_json.dumps({"alg": "HS256", "typ": "JWT"},
+                               separators=(",", ":")).encode())
+    body = _b64url(payload_raw)
+    signing_input = (head + "." + body).encode("ascii")
+    return head + "." + body + "." + _b64url(_sign(signing_input, SECRET))
+
+
+def test_signed_scalar_payload_rejected_in_taxonomy():
+    tok = _forge_signed(b"5")
+    with pytest.raises(AuthenticationError) as ei:
+        verify_jwt_token(tok, SECRET, now=T0)
+    assert ei.value.reason == "invalid_token"
+
+
+def test_signed_non_numeric_exp_rejected_in_taxonomy():
+    import json as _json
+    tok = _forge_signed(_json.dumps(
+        {"id": 1, "exp": "2026-08-18T00:00:00Z", "type": "access"}).encode())
+    with pytest.raises(AuthenticationError) as ei:
+        verify_jwt_token(tok, SECRET, now=T0)
+    assert ei.value.reason == "invalid_token"
+
+
 @pytest.fixture()
 def tenant_table(spark, tmp_path):
     path = str(tmp_path / "tenant_docs")
@@ -136,10 +182,13 @@ def test_scope_to_user_filters_and_pushes(spark, tenant_table):
 
 
 def test_scope_requires_user_col(spark):
+    """A missing scope column is a pipeline wiring bug — plain
+    ValueError, kept OUT of the JWT reason taxonomy."""
     df = spark.range(3).withColumnRenamed("id", "x")
     tok = create_access_token({"id": 1}, SECRET, now=T0)
-    with pytest.raises(AuthenticationError):
+    with pytest.raises(ValueError) as ei:
         scope_to_user(df, tok, SECRET, now=T0)
+    assert not isinstance(ei.value, AuthenticationError)
 
 
 def test_stamp_owner_overrides_spoofed_payload(spark):

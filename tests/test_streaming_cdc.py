@@ -135,6 +135,23 @@ def test_evolved_table_refused(spark, tmp_path):
         stream_changes(spark, root).schema
 
 
+def test_mid_stream_evolution_fails_loud(spark, tmp_path):
+    """An evolution op declared AFTER the stream opened must fail the
+    NEXT micro-batch's planning, not silently serve NULLs for the
+    renamed column via read()'s file-predates-column branch —
+    partitions() re-checks every batch; the open-time check alone
+    cannot see a mid-stream declaration."""
+    from resume_parser_service_spark.streaming.cdc import _CDCStreamReader
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0])]))
+    reader = _CDCStreamReader(root, 0)  # opened while the table is clean
+    assert reader.partitions({"version": 0}, {"version": 1})
+    tbl.rename_column("text", "body")  # declared mid-stream
+    with pytest.raises(ValueError, match="schema-evolution"):
+        reader.partitions({"version": 0}, {"version": 1})
+
+
 def _index_rows(spark, idx_root):
     from resume_parser_service_spark.pipeline.writer import SnapshotTable
     df = SnapshotTable(idx_root).read_live(spark)
@@ -373,6 +390,22 @@ def test_delete_keys_accepts_dataframe(spark, tmp_path):
     # all-miss key frame: no empty tombstone snapshot
     assert tbl.delete_keys(
         spark, spark.createDataFrame([("nope",)], "k string")) is None
+
+
+def test_delete_keys_dataframe_non_identifier_column(spark, tmp_path):
+    """Key frames whose column is a reserved word or non-identifier
+    must still delete (no selectExpr string-splicing), and multi-column
+    frames are rejected loudly instead of silently using column 0."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(root)
+    tbl.commit(_df(spark, [("u1", "a", [1.0]), ("u2", "b", [2.0])]))
+    keys = spark.createDataFrame([("u1",)], "`user key` string")
+    assert tbl.delete_keys(spark, keys) == 2
+    assert [r["url"] for r in
+            tbl.read_current(spark).collect()] == ["u2"]
+    with pytest.raises(ValueError, match="single-column"):
+        tbl.delete_keys(spark, spark.createDataFrame(
+            [("u2", 1)], "k string, extra int"))
 
 
 def test_maintain_index_cli(spark, tmp_path, capsys):
