@@ -23,6 +23,25 @@ import functools
 import hashlib
 import struct
 
+# Optional hardware-accelerated primitives. AES and RC4 are fully
+# specified (FIPS-197 / the well-known RC4 KSA+PRGA), so any conforming
+# implementation is byte-identical to the pure-Python reference below —
+# the fast path changes wall-clock only, never output. The pure-Python
+# code remains both the fallback and the executable spec
+# (tests/test_pdf_crypt.py cross-checks the two).
+try:  # pragma: no cover - environment-dependent
+    from cryptography.hazmat.primitives.ciphers import (Cipher as _Cipher,
+                                                        algorithms as _calg,
+                                                        modes as _cmodes)
+    try:  # ARC4 moved to the decrepit namespace in cryptography >= 43
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _ARC4)
+    except ImportError:  # pragma: no cover
+        _ARC4 = _calg.ARC4
+    _HAVE_FAST_CRYPTO = True
+except ImportError:  # pragma: no cover
+    _HAVE_FAST_CRYPTO = False
+
 __all__ = [
     "CryptError",
     "StandardSecurityHandler",
@@ -67,6 +86,12 @@ def _owner_key(owner_pw: bytes, r: int, n: int) -> bytes:
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric: same call encrypts and decrypts)."""
+    # cryptography's ARC4 accepts only the standard key sizes; RC4
+    # itself takes any 1-256 byte key, so odd sizes (seen in crawled
+    # PDFs and test vectors) stay on the pure-Python reference path
+    if _HAVE_FAST_CRYPTO and len(key) in (5, 7, 8, 10, 16, 20, 24, 32):
+        enc = _Cipher(_ARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
     s = list(range(256))
     j = 0
     klen = len(key)
@@ -201,6 +226,9 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes,
         data = data + bytes([n]) * n
     elif len(data) % 16:
         raise CryptError("unpadded AES input not block-aligned")
+    if _HAVE_FAST_CRYPTO:
+        enc = _Cipher(_calg.AES(key), _cmodes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
     rks = _expand_key(key)
     out = bytearray()
     prev = iv
@@ -216,14 +244,18 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes,
     if len(data) % 16:
         # tolerate trailing slack bytes (crawled PDFs): drop them
         data = data[:len(data) - len(data) % 16]
-    rks = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = data[i:i + 16]
-        plain = _decrypt_block(rks, block)
-        out += bytes(a ^ b for a, b in zip(plain, prev))
-        prev = block
+    if _HAVE_FAST_CRYPTO:
+        dec = _Cipher(_calg.AES(key), _cmodes.CBC(iv)).decryptor()
+        out = bytearray(dec.update(data) + dec.finalize())
+    else:
+        rks = _expand_key(key)
+        out = bytearray()
+        prev = iv
+        for i in range(0, len(data), 16):
+            block = data[i:i + 16]
+            plain = _decrypt_block(rks, block)
+            out += bytes(a ^ b for a, b in zip(plain, prev))
+            prev = block
     if unpad and out:
         n = out[-1]
         if 1 <= n <= 16 and len(out) >= n:
