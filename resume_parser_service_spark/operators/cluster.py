@@ -94,21 +94,33 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     instead of silently returning partial labels."""
     register_views(spark, sf_dir)
     _ensure_checkpoint_dir(spark)
-    # edges is the expensive part (capped-shingle self-join); persist
-    # it before fanning out — labels, sym, and the LSSS fallback all
-    # reference it, and an unpersisted subtree would re-run the join
-    # per consumer. _edges_sql is already SYMMETRIC (both orientations
-    # come out of the x.doc_id <> y.doc_id self-join), so no reversed
-    # union here.
-    edges = spark.sql(_edges_sql("spark")).persist()
+    # edges via the shared fast pair builder (catalog._capped_pairs —
+    # pandas shingle kernel, single-exchange df-cap + pair grouping);
+    # its (doc_a < doc_b) pairs symmetrized here reproduce
+    # _edges_sql("spark") exactly (the SQL stays as the executable
+    # reference and the oracle's edge definition). persist before
+    # fanning out — labels, sym, and the LSSS fallback all reference
+    # it, and an unpersisted subtree would re-run the build per
+    # consumer.
+    from .catalog import _capped_pairs
+    pairs, _sizes, seeds = _capped_pairs(spark, sf_dir)
+    half = pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst"))).persist()
     docs = spark.table("documents").select("doc_id")
-    nodes = (edges.select(F.col("src").alias("doc_id"))
-             .unionByName(edges.select(F.col("dst").alias("doc_id")))
-             .distinct())
+    # Seeded start: label(doc) = min doc sharing any cold shingle —
+    # already computed by the pair builder, a 2-hop head start that
+    # collapses star-shaped clusters before the first round. Valid for
+    # the same reason as the two per-round hops: every seed is a
+    # smaller label from the SAME component, so the fixpoint (and the
+    # monotone sum convergence check) is unchanged. The seed frame's
+    # doc set IS the edge-touched node set (every edge comes out of a
+    # multi-doc shingle group), so no separate nodes-distinct pass.
     # The eager checkpoint below is the action that materializes the
-    # persisted edges; nodes/sym then read the cache.
-    labels = (nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-              .localCheckpoint(eager=True))
+    # persisted edges; sym then reads the cache.
+    labels = seeds.localCheckpoint(eager=True)
     # Self-loops (derived from the checkpointed labels — zero extra
     # edge-scan) keep every participating node present as a src each
     # round — without them min-propagation loses monotonicity (a node

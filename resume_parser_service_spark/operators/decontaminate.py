@@ -48,25 +48,48 @@ ORDER BY c.doc_id
 """
 
 
+def _shingle_strings_pandas(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, n-gram STRING) rows via a per-doc Python set
+    in ``mapInPandas`` (guide §4.2) — the vectorized twin of
+    ``SELECT DISTINCT doc_id, shingle FROM (_shingle_rel(...))``.
+    The per-doc set IS the global DISTINCT (doc_id is in the key), so
+    this is a pure map stage: the exchange the SQL paid for dedup is
+    gone. Shingles stay STRINGS so the join semantics (and the DuckDB
+    oracle) are untouched — no hash-collision exposure."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = ("" if text is None else text).split(" ")
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                seen = {" ".join(toks[i:i + n]) for i in range(m)}
+                ids.extend([doc_id] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "shingle": pd.Series(shs, dtype="object")})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, shingle string")
+
+
 def contaminated_docs(spark: SparkSession, corpus: DataFrame,
                       eval_docs: DataFrame, n: int = 8) -> DataFrame:
     """(doc_id, n_hits) for corpus docs colliding with the eval set.
     The eval shingle set is explicitly broadcast — the corpus never
-    shuffles."""
-    import uuid
-
-    # unique per call — a reused view name would silently rebind any
-    # still-pending returned plan to different data
-    c_view = f"_decon_corpus_{uuid.uuid4().hex[:12]}"
-    e_view = f"_decon_eval_{uuid.uuid4().hex[:12]}"
-    corpus.createOrReplaceTempView(c_view)
-    eval_docs.createOrReplaceTempView(e_view)
-    corpus_sh = spark.sql(
-        f"SELECT DISTINCT doc_id, shingle FROM "
-        f"({_shingle_rel('spark', n=n, table=c_view)})")
-    eval_sh = spark.sql(
-        f"SELECT DISTINCT shingle FROM "
-        f"({_shingle_rel('spark', n=n, table=e_view)})")
+    shuffles (and since r6 never pays a DISTINCT exchange either:
+    both shingle sets come from the per-doc-set pandas kernel)."""
+    slots = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < slots:
+        # spread the CPU-bound kernel when the scan is under-split
+        corpus = corpus.repartition(slots * 2)
+    corpus_sh = _shingle_strings_pandas(corpus, n)
+    eval_sh = _shingle_strings_pandas(eval_docs, n) \
+        .select("shingle").distinct()
     return (corpus_sh.join(F.broadcast(eval_sh), "shingle")
             .groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_hits"))

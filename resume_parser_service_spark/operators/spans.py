@@ -94,9 +94,87 @@ ORDER BY {id_col}, span_start
 """
 
 
+def _pos_rows_pandas(docs: DataFrame, n: int, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, pos, hash60(n-gram at pos)) rows via a Python kernel — the
+    vectorized twin of the SQL ``pos_sh`` CTE (guide §4.2: hashlib.md5
+    beats the per-shingle JVM concat_ws->md5->conv expression chain
+    ~8x, and the kernel is a pure map stage)."""
+    import hashlib
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            poss: list[int] = []
+            hs: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ("" if text is None else text).split(" ")
+                m = len(toks) - n + 1
+                for i in range(m if m > 0 else 0):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    hs.append(int(hashlib.md5(
+                        " ".join(toks[i:i + n]).encode()).hexdigest()[:15],
+                        16))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "h": pd.Series(hs, dtype="int64")})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, pos long, h long")
+
+
+def _spans_frame(docs: DataFrame, n: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Merged repeated-span intervals for ``min_df=2`` — identical rows
+    to ``repeated_spans_sql`` (the executable reference / oracle
+    source). Restructured per guide §2.3/§2.4: the df flag
+    ``count(DISTINCT doc) >= 2`` is exactly ``min(doc) != max(doc)``
+    over the hash partition, so one window pass replaces the SQL's
+    groupBy(h) + join back (which re-shuffled the position stream);
+    the kernel above replaces the JVM md5 expression chain."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    pos = _pos_rows_pandas(docs, n, id_col, text_col)
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        # spread the CPU-bound kernel when the scan is under-split
+        # (same gate as extract_queries._spread)
+        pos = _pos_rows_pandas(docs.repartition(slots * 2), n,
+                               id_col, text_col)
+    wh = Window.partitionBy("h")
+    flagged = (pos
+               .withColumn("_mn", F.min(id_col).over(wh))
+               .withColumn("_mx", F.max(id_col).over(wh))
+               .where(F.col("_mn") != F.col("_mx"))
+               .select(id_col, "pos",
+                       (F.col("pos") + (n - 1)).alias("pend")))
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("pend").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = flagged.withColumn(
+        "is_start", F.when(prev_max >= F.col("pos") - 1, 0).otherwise(1))
+    grouped = islands.withColumn(
+        "island",
+        F.sum("is_start").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy(id_col, "island")
+            .agg(F.min("pos").cast("bigint").alias("span_start"),
+                 F.max("pend").cast("bigint").alias("span_end"))
+            .select(id_col, "span_start", "span_end")
+            .orderBy(id_col, "span_start"))
+
+
 def repeated_spans(spark: SparkSession, sf_dir: str,
                    span_ngram: int = 16, min_df: int = 2) -> DataFrame:
     register_views(spark, sf_dir)
+    if min_df == 2:
+        return _spans_frame(spark.table("documents"), span_ngram)
+    # general min_df needs a true distinct-doc count per hash — keep
+    # the SQL formulation for that (outside the default contract)
     return spark.sql(repeated_spans_sql("spark", span_ngram=span_ngram,
                                         min_df=min_df))
 
@@ -114,12 +192,16 @@ def drop_repeated_spans(docs: DataFrame, span_ngram: int = 16,
     import uuid
 
     spark = docs.sparkSession
-    view = f"_spans_docs_{uuid.uuid4().hex[:12]}"
-    docs.createOrReplaceTempView(view)
-    spans = spark.sql(repeated_spans_sql("spark", table=view,
-                                         span_ngram=span_ngram,
-                                         min_df=min_df, id_col=id_col,
-                                         text_col=text_col))
+    if min_df == 2:
+        spans = _spans_frame(docs, span_ngram, id_col=id_col,
+                             text_col=text_col)
+    else:
+        view = f"_spans_docs_{uuid.uuid4().hex[:12]}"
+        docs.createOrReplaceTempView(view)
+        spans = spark.sql(repeated_spans_sql("spark", table=view,
+                                             span_ngram=span_ngram,
+                                             min_df=min_df, id_col=id_col,
+                                             text_col=text_col))
     per_doc = (spans.groupBy(id_col)
                .agg(F.collect_list(F.struct("span_start", "span_end"))
                     .alias("_spans")))
