@@ -1086,9 +1086,9 @@ ORDER BY keeper_doc_id""")
     # ngram_jaccard_pairs subsumes; its zero-join plan shape is still
     # asserted in tests/test_functions_plans.py from _shingle_sql.)
     def _run_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .incremental import band_signatures_sql
+        from .incremental import band_signatures
         register_views(spark, sf_dir)
-        return spark.sql(band_signatures_sql("spark"))
+        return band_signatures(spark, spark.table("documents"))
     from .incremental import band_signatures_sql as _bands_sql
     c["band_signatures"] = (_run_bands, _bands_sql("duck"))
 

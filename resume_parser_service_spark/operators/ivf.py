@@ -108,22 +108,47 @@ def _centroids(emb: DataFrame, n_cells: int,
 
 
 def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest centroid by cosine, centroids broadcast.
+    """(vec_id, cell): nearest centroid by cosine, as ONE numpy matmul
+    per Arrow batch (optimization guide §4.2) — the centroid table is
+    n_cells rows by contract, so it ships into the kernel as a local
+    (n_cells x d) matrix; the corpus is never shuffled and never pays
+    the interpreted per-element fold of the previous
+    crossJoin(zip_with/aggregate) formulation (which also recomputed
+    the vector norm once per centroid: N x n_cells x d lambda evals).
+    Tie-break matches the old max_by struct exactly: highest sim, then
+    lowest cell — centroids are sorted by cell and np.argmax takes the
+    first maximum. Short vectors zero-pad against the centroid dim,
+    the same semantics as the coalesced fold."""
+    import numpy as np
+    import pandas as pd
 
-    A grouped max_by, NOT a row_number window: the window formulation
-    sort-shuffled every one of the N*n_cells scored rows; an aggregate
-    keeps map-side partial aggregation, so only N (vec_id, buffer)
-    pairs cross the wire — the difference at 10^9 vectors. Tie-break
-    matches the old window exactly: highest sim, then lowest cell (the
-    (sim, -cell) ordering struct)."""
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .withColumn("sim", _dot("embedding", "centroid") /
-                          (_norm("embedding") * _norm("centroid"))))
-    return (scored.groupBy("vec_id")
-            .agg(F.max_by("cell", F.struct(
-                F.col("sim").alias("s"),
-                (-F.col("cell")).alias("nc"))).alias("cell"))
-            .select("vec_id", "cell"))
+    rows = sorted(cents.collect(), key=lambda r: r.cell)
+    cells = [int(r.cell) for r in rows]
+    cdim = max(len(r.centroid) for r in rows)
+    cmat_l = [list(r.centroid) + [0.0] * (cdim - len(r.centroid))
+              for r in rows]
+
+    def kernel(batches):
+        cmat = np.asarray(cmat_l, dtype=np.float64)      # (n_cells, d)
+        cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+        cell_arr = np.asarray(cells, dtype=np.int32)
+        for pdf in batches:
+            col = pdf["embedding"]
+            dmax = max([cdim] + [len(v) for v in col if v is not None])
+            m = np.zeros((len(col), dmax), dtype=np.float64)
+            for r, v in enumerate(col):
+                if v is not None and len(v):
+                    a = np.asarray(v, dtype=np.float64)
+                    m[r, :len(a)] = a
+            en = np.sqrt(np.einsum("ij,ij->i", m, m))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m[:, :cdim] @ cmat.T) / np.outer(en, cnorm)
+            best = cell_arr[np.argmax(sims, axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": pd.Series(best, dtype="int32")})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, cell int")
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str, n_cells: int = 16,

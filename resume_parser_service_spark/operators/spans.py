@@ -104,9 +104,14 @@ def _pos_rows_pandas(docs: DataFrame, n: int, id_col: str = "doc_id",
 
     import pandas as pd
 
+    # id passes through untouched — the catalog query keys on bigint
+    # doc_ids, drop_repeated_spans on url strings
+    id_sql_type = dict(docs.dtypes)[id_col]
+    id_dtype = "object" if id_sql_type == "string" else "int64"
+
     def kernel(batches):
         for pdf in batches:
-            ids: list[int] = []
+            ids: list = []
             poss: list[int] = []
             hs: list[int] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -119,12 +124,12 @@ def _pos_rows_pandas(docs: DataFrame, n: int, id_col: str = "doc_id",
                         " ".join(toks[i:i + n]).encode()).hexdigest()[:15],
                         16))
             yield pd.DataFrame({
-                id_col: pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype=id_dtype),
                 "pos": pd.Series(poss, dtype="int64"),
                 "h": pd.Series(hs, dtype="int64")})
 
     return docs.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} long, pos long, h long")
+        kernel, schema=f"{id_col} {id_sql_type}, pos long, h long")
 
 
 def _spans_frame(docs: DataFrame, n: int, id_col: str = "doc_id",

@@ -137,8 +137,13 @@ def _kernel(batches: Iterator) -> Iterator:
     task failures — Spark task retry handles infra faults (A12)."""
     import pandas as pd
 
+    names = [f.name for f in EXTRACT_SCHEMA]
     for pdf in batches:
-        rows = []
+        # column-wise accumulation: pd.DataFrame over a list of row
+        # dicts re-parses every dict per row and re-infers dtypes —
+        # measured ~2x the conversion cost of building the columns
+        # directly at this row width (optimization guide §4.2)
+        cols: dict[str, list] = {n: [] for n in names}
         for url, warc_ts, html, lang, doc_type in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"],
                 pdf["doc_type"]):
@@ -162,17 +167,23 @@ def _kernel(batches: Iterator) -> Iterator:
             except Exception:
                 # /root/reference/app/core/exceptions.py:133
                 status, err = "error", "ResumeValidationError"
-            rows.append({
-                "url": url, "warc_ts": warc_ts, "lang": lang,
-                "doc_type": doc_type, "status": status, "error_class": err,
-                "text": text, "links": links, "resume_json": resume_json,
-                "flat_text": flat_text, "vector": vector,
-                "n_pages": int(n_pages), "n_chars": len(text),
-                "n_links": len(links),
-                "extract_ms": (time.perf_counter() - t0) * 1000.0,
-                "kernel_version": PIPELINE_KERNEL_VERSION,
-            })
-        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA])
+            cols["url"].append(url)
+            cols["warc_ts"].append(warc_ts)
+            cols["lang"].append(lang)
+            cols["doc_type"].append(doc_type)
+            cols["status"].append(status)
+            cols["error_class"].append(err)
+            cols["text"].append(text)
+            cols["links"].append(links)
+            cols["resume_json"].append(resume_json)
+            cols["flat_text"].append(flat_text)
+            cols["vector"].append(vector)
+            cols["n_pages"].append(int(n_pages))
+            cols["n_chars"].append(len(text))
+            cols["n_links"].append(len(links))
+            cols["extract_ms"].append((time.perf_counter() - t0) * 1000.0)
+            cols["kernel_version"].append(PIPELINE_KERNEL_VERSION)
+        yield pd.DataFrame(cols, columns=names)
 
 
 def extract_pages(pages: DataFrame, salt_partitions: int | None = None,

@@ -33,6 +33,14 @@ def get_spark(app_name: str = "resume-parser-service-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9) — skips the per-side
+        # sorts (measured: join_revenue_by_nation SortMergeJoin ->
+        # ShuffledHashJoin, ~15% faster at sf1.0; raising the
+        # broadcast threshold instead was tried and REGRESSED 3x —
+        # collecting a 1.5M-row orders side costs more than its
+        # shuffle, so autoBroadcastJoinThreshold stays at the default)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html rows are up to 10 MB; keep Arrow batches small (spill risk)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")

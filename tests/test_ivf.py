@@ -37,18 +37,19 @@ def test_assignment_total_and_bounded(spark):
 
 
 def test_assignment_is_aggregate_not_window(spark):
-    """The nearest-centroid assignment must be a partial+final
-    aggregation (N buffer rows shuffle), never a row_number window
-    (which sort-shuffles all N*n_cells scored rows): exactly one
-    exchange, no Window node."""
+    """The nearest-centroid assignment must never sort-shuffle the
+    N*n_cells scored rows (the r1 row_number window). Since r6 it is a
+    pure MAP stage: one numpy matmul per Arrow batch against the local
+    n_cells-row centroid matrix — ZERO exchanges, no Window, no join
+    of the corpus at all."""
     import re
     assigned, _ = ivf.ivf_assign(spark, SF_DIR, n_cells=N_CELLS, dim=64)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "partial_max_by" in plan          # map-side combine exists
+    assert "MapInPandas" in plan             # vectorized assignment
     n_shuffles = len(re.findall(
         r"Exchange (?:hash|range)partitioning", plan))
-    assert n_shuffles <= 1, plan
+    assert n_shuffles == 0, plan
 
 
 def test_full_probe_equals_bruteforce(spark):
