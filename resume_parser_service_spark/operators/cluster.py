@@ -149,6 +149,12 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     global LAST_ROUNDS
     LAST_ROUNDS = None
     prev_sum = label_sum(labels)
+    # Tried and REJECTED (r6): broadcasting the label frame into both
+    # per-round joins (guide §2.4) — measured 11-23 s vs 6.8-8.3 s for
+    # the shuffle joins at sf1.0, interleaved A/B. Two broadcast
+    # builds + driver round-trips per round cost more than shuffling
+    # the ~node-sized frame into the edge table's persisted
+    # partitioning; the shuffle formulation stays.
     try:
         converged = False
         for rnd in range(1, MAX_ROUNDS + 1):
