@@ -45,15 +45,16 @@ SF01 = "/root/testdata/sf0.1"
 COPIES = 10
 
 
-def build_sfx10(spark, cache_root: str) -> str:
+def build_sfx10(spark, cache_root: str, n_copies: int = COPIES,
+                name: str = "sfx10") -> str:
     from pyspark.sql import functions as F
-    root = os.path.join(cache_root, "sfx10")
+    root = os.path.join(cache_root, name)
     docs_path = os.path.join(root, "documents.parquet")
     emb_path = os.path.join(root, "embeddings.parquet")
     if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
         docs = spark.read.parquet(f"{SF01}/documents.parquet")
         n_docs = docs.count()
-        copies = spark.range(COPIES).select(F.col("id").alias("k"))
+        copies = spark.range(n_copies).select(F.col("id").alias("k"))
         big = (docs.crossJoin(copies)
                .select(
                    (F.col("doc_id") + F.col("k") * n_docs)
