@@ -109,6 +109,14 @@ def verify_jwt_token(token: str, secret: str, *,
     ``verify_jwt_token``, ``security.py:83-117``: ``require_exp`` is
     on, type checked only when expected)."""
     now = time.time() if now is None else now
+    if not token.isascii():
+        # JWT compact serialization is ASCII by construction; rejecting
+        # up front keeps every parse failure inside the
+        # AuthenticationError taxonomy (a non-ASCII payload segment
+        # would otherwise escape as a raw UnicodeEncodeError from the
+        # signing-input encode — advisor finding, r5)
+        raise AuthenticationError(
+            "Invalid token: non-ascii", reason="invalid_token")
     parts = token.split(".")
     if len(parts) != 3:
         raise AuthenticationError(

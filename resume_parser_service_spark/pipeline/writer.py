@@ -729,11 +729,12 @@ class SnapshotTable:
                 raise ValueError(
                     f"delete_keys: expected a single-column key frame, "
                     f"got columns {keys.columns}")
-            # F.col(...).alias, not selectExpr string-splicing: key
-            # frames named with reserved words / non-identifiers
-            # ('order', 'user key') must still parse
-            key_df = (keys.select(F.col(keys.columns[0])
-                                  .alias(self.key_col)).distinct())
+            # positional rename (toDF), not name-based resolution: key
+            # frames named with reserved words, spaces, or DOTS ('a.b'
+            # is parsed as struct-field access by F.col AND by
+            # DataFrame[...] — advisor finding, r5) never go through
+            # any name grammar
+            key_df = keys.toDF(self.key_col).distinct()
             victims = cur.join(key_df, self.key_col, "left_semi") \
                 .withColumn("_deleted", F.lit(True))
         else:

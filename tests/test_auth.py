@@ -42,6 +42,18 @@ def test_tampered_signature_rejected():
     assert ei.value.reason == "invalid_token"
 
 
+def test_non_ascii_token_stays_in_taxonomy():
+    """A token with a valid header but a non-ASCII payload segment must
+    raise AuthenticationError, not a raw UnicodeEncodeError from the
+    signing-input encode (advisor finding, r5)."""
+    tok = create_access_token({"id": 1}, SECRET, now=T0)
+    head, _body, sig = tok.split(".")
+    bad = head + ".paylöad." + sig
+    with pytest.raises(AuthenticationError) as ei:
+        verify_jwt_token(bad, SECRET, now=T0)
+    assert ei.value.reason == "invalid_token"
+
+
 def test_tampered_payload_rejected():
     """Flipping a claim without re-signing must fail: the signature
     covers the payload segment."""

@@ -57,6 +57,18 @@ def test_delete_tombstone(spark, tmp_path):
     assert tbl.delete_keys(spark, ["nope"]) is None
 
 
+def test_delete_keys_frame_with_dotted_column_name(spark, tmp_path):
+    """A key FRAME whose single column contains a dot must resolve
+    positionally — F.col('a.b') would parse it as struct-field access
+    (advisor finding, r5)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.merge_upsert(spark, _df(spark, [
+        ("u1", "alpha", [1.0]), ("u2", "beta", [2.0])]))
+    keys = spark.createDataFrame([("u2",)], ["the.key"])
+    assert tbl.delete_keys(spark, keys) == 2
+    assert [r["url"] for r in tbl.read_current(spark).collect()] == ["u1"]
+
+
 def test_time_travel_sees_pre_update_state(spark, tmp_path):
     tbl = SnapshotTable(str(tmp_path / "t"))
     tbl.merge_upsert(spark, _df(spark, [("u1", "alpha", [1.0])]))
