@@ -263,7 +263,33 @@ def _shingle_rows_pandas(docs: DataFrame, n: int = 5,
         .mapInPandas(kernel, schema="doc_id long, shingle long")
 
 
-def _capped_pairs(spark: SparkSession, sf_dir: str, max_df: int = 100
+def _shingle_base(spark: SparkSession, sf_dir: str, max_df: int = 100
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(sh, grp): the checkpointed distinct shingle rows and the
+    df-capped multi-doc group lists — the shared substrate of
+    ``_capped_pairs`` and ``dedup_clusters``' size gate (which needs
+    ``grp`` before deciding whether to build pairs at all)."""
+    docs = spark.table("documents")
+    sh = _shingle_rows_pandas(docs)
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        # under-split scan (small-SF single file): spread the CPU-bound
+        # kernel over every slot — same gate as extract_queries._spread
+        sh = _shingle_rows_pandas(docs.repartition(slots * 2))
+    sh = sh.localCheckpoint(eager=True)
+    # checkpoint AFTER the >=2 filter: the frame shrinks to the
+    # multi-doc shingles only, and the expensive corpus-wide
+    # aggregation runs once even when pairs and seeds are consumed by
+    # separate actions (dedup_clusters reads seeds before edges)
+    grp = (sh.groupBy("shingle")
+           .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+           .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+           .localCheckpoint(eager=True))
+    return sh, grp
+
+
+def _capped_pairs(spark: SparkSession, sf_dir: str, max_df: int = 100,
+                  base: tuple[DataFrame, DataFrame] | None = None
                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(pairs, sizes, seeds) for the shared-shingle near-dup family:
     pairs = (doc_a < doc_b, n_shared) over shingles with document
@@ -287,23 +313,9 @@ def _capped_pairs(spark: SparkSession, sf_dir: str, max_df: int = 100
     DISTINCT, the df-count aggregation, and the self-join sides).
     Pairs then explode the a<b combinations of each (<= max_df) doc
     list in-JVM and aggregate per pair."""
-    docs = spark.table("documents")
-    sh = _shingle_rows_pandas(docs)
-    slots = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < slots:
-        # under-split scan (small-SF single file): spread the CPU-bound
-        # kernel over every slot — same gate as extract_queries._spread
-        sh = _shingle_rows_pandas(docs.repartition(slots * 2))
-    sh = sh.localCheckpoint(eager=True)
+    sh, grp = base if base is not None else \
+        _shingle_base(spark, sf_dir, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # checkpoint AFTER the >=2 filter: the frame shrinks to the
-    # multi-doc shingles only, and the expensive corpus-wide
-    # aggregation runs once even when pairs and seeds are consumed by
-    # separate actions (dedup_clusters reads seeds before edges)
-    grp = (sh.groupBy("shingle")
-           .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-           .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
-           .localCheckpoint(eager=True))
     pair_expr = F.explode(F.flatten(F.transform(
         "ds",
         lambda a, i: F.transform(

@@ -50,11 +50,60 @@ FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
 
 MAX_ROUNDS = 20
 
+#: When the df-capped multi-doc shingle groups hold at most this many
+#: member rows, connected components run as ONE vectorized union-find
+#: task fed by the group lists (Σ(k-1) unions, no pair
+#: materialization, no iterative rounds) — the same measured-gate
+#: pattern as the enrich dup-map broadcast. Past the gate (a dup graph
+#: too big for one task) the distributed pointer-jumping loop below is
+#: the path, with LSSS behind it. 5M member rows is ~1-2 s of
+#: single-task unions — well under what the loop costs at that size.
+LOCAL_CC_MAX_MEMBERS = 5_000_000
+
 # rounds the last label-propagation call took to converge (scale
 # diagnostics: BENCH growth-curve probes report rounds alongside wall)
 LAST_ROUNDS: int | None = None
 
 log = logging.getLogger(__name__)
+
+
+def _cc_local_kernel(batches):
+    """Single-task union-find over df-capped shingle-group doc lists.
+    Linking each member to its group head captures the group's full
+    connectivity with k-1 unions; union-by-min keeps every root at the
+    component minimum, so emitted labels equal the loop's fixpoint."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for ds in pdf["ds"]:
+            head = int(ds[0])
+            if head not in parent:
+                parent[head] = head
+            for b in ds[1:]:
+                b = int(b)
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(head), find(b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+    nodes = list(parent)
+    yield pd.DataFrame({
+        "doc_id": pd.Series(nodes, dtype="int64"),
+        "cluster_id": pd.Series([find(x) for x in nodes],
+                                dtype="int64")})
 
 
 def _ensure_checkpoint_dir(spark: SparkSession) -> None:
@@ -102,8 +151,30 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
     # fanning out — labels, sym, and the LSSS fallback all reference
     # it, and an unpersisted subtree would re-run the build per
     # consumer.
-    from .catalog import _capped_pairs
-    pairs, _sizes, seeds = _capped_pairs(spark, sf_dir)
+    from .catalog import _capped_pairs, _shingle_base
+    global LAST_ROUNDS
+    base = _shingle_base(spark, sf_dir)
+    grp = base[1]
+    n_members = int(grp.agg(F.sum(F.size("ds"))).collect()[0][0] or 0)
+    if n_members <= LOCAL_CC_MAX_MEMBERS:
+        # Small-graph fast path: one union-find task over the group
+        # lists. Connectivity within a cold shingle group is fully
+        # captured by linking every member to the group head (k-1
+        # unions vs k(k-1)/2 pairs), and union-by-min makes each root
+        # the component minimum — identical labels to the loop and to
+        # the recursive-CTE oracle (cross-checked both ways in
+        # tests/test_cluster.py).
+        LAST_ROUNDS = 0
+        labels = (grp.select("ds").repartition(1)
+                  .mapInPandas(_cc_local_kernel,
+                               schema="doc_id long, cluster_id long"))
+        docs = spark.table("documents").select("doc_id")
+        return (docs.join(labels, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster_id", "doc_id")
+                        .alias("cluster_id"))
+                .orderBy("doc_id"))
+    pairs, _sizes, seeds = _capped_pairs(spark, sf_dir, base=base)
     half = pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
     edges = half.unionByName(
@@ -146,7 +217,6 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str,
                                    .cast("decimal(38,0)")))
                    .collect()[0][0] or 0)
 
-    global LAST_ROUNDS
     LAST_ROUNDS = None
     prev_sum = label_sum(labels)
     # Tried and REJECTED (r6): broadcasting the label frame into both

@@ -47,7 +47,9 @@ def test_chain_converges_to_one_cluster(spark, tmp_path):
 
 def test_unconverged_chain_raises_when_strict(spark, tmp_path, monkeypatch):
     # pointer jumping covers ~2^rounds chain hops: a 10-link chain
-    # cannot converge in 3 rounds even with the jump
+    # cannot converge in 3 rounds even with the jump (gate forced past
+    # the r6 local union-find path: this test pins LOOP diagnostics)
+    monkeypatch.setattr(cl, "LOCAL_CC_MAX_MEMBERS", -1)
     monkeypatch.setattr(cl, "MAX_ROUNDS", 3)
     sf_dir = _write_docs(spark, tmp_path, _chain_docs(10))
     from resume_parser_service_spark.operators.catalog import _REGISTERED
@@ -131,6 +133,7 @@ def test_label_prop_fallback_to_lsss(spark, monkeypatch):
     sf = "/root/testdata/sf0.001"
     want = {r["doc_id"]: r["cluster_id"]
             for r in C._q_dedup_clusters(spark, sf, strict=True).collect()}
+    monkeypatch.setattr(C, "LOCAL_CC_MAX_MEMBERS", -1)
     monkeypatch.setattr(C, "MAX_ROUNDS", 1)
     got = {r["doc_id"]: r["cluster_id"]
            for r in C._q_dedup_clusters(spark, sf).collect()}
@@ -143,6 +146,7 @@ def test_pointer_jumping_converges_past_round_count(spark, tmp_path,
     round chases a neighbor hop AND a pointer hop, so depth is
     O(log diameter) — one-hop-per-round propagation would need 19
     rounds and trip the strict guard."""
+    monkeypatch.setattr(cl, "LOCAL_CC_MAX_MEMBERS", -1)
     monkeypatch.setattr(cl, "MAX_ROUNDS", 6)
     sf_dir = _write_docs(spark, tmp_path, _chain_docs(20))
     from resume_parser_service_spark.operators.catalog import _REGISTERED
@@ -153,3 +157,18 @@ def test_pointer_jumping_converges_past_round_count(spark, tmp_path,
     assert all(labels[i] == 0 for i in range(20)), labels
     assert labels[20] == 20  # isolated doc self-labels outside the loop
     _REGISTERED.pop(id(spark), None)
+
+
+def test_local_union_find_agrees_with_loop(spark, monkeypatch):
+    """The r6 size-gated single-task union-find must label exactly like
+    the distributed pointer-jump loop (and transitively like the
+    recursive-CTE oracle that checks the loop)."""
+    sf = "/root/testdata/sf0.001"
+    local = {r["doc_id"]: r["cluster_id"]
+             for r in cl._q_dedup_clusters(spark, sf).collect()}
+    assert cl.LAST_ROUNDS == 0  # small corpus rides the local path
+    monkeypatch.setattr(cl, "LOCAL_CC_MAX_MEMBERS", -1)
+    looped = {r["doc_id"]: r["cluster_id"]
+              for r in cl._q_dedup_clusters(spark, sf, strict=True).collect()}
+    assert cl.LAST_ROUNDS and cl.LAST_ROUNDS > 0
+    assert local == looped
