@@ -263,12 +263,22 @@ def _shingle_rows_pandas(docs: DataFrame, n: int = 5,
         .mapInPandas(kernel, schema="doc_id long, shingle long")
 
 
-def _shingle_base(spark: SparkSession, sf_dir: str, max_df: int = 100
+def _shingle_base(spark: SparkSession, sf_dir: str, max_df: int = 100,
+                  checkpoint: bool = True
                   ) -> tuple[DataFrame, DataFrame]:
-    """(sh, grp): the checkpointed distinct shingle rows and the
-    df-capped multi-doc group lists — the shared substrate of
-    ``_capped_pairs`` and ``dedup_clusters``' size gate (which needs
-    ``grp`` before deciding whether to build pairs at all)."""
+    """(sh, grp): the distinct shingle rows and the df-capped
+    multi-doc group lists — the shared substrate of ``_capped_pairs``
+    and ``dedup_clusters``' size gate (which needs ``grp`` before
+    deciding whether to build pairs at all).
+
+    ``checkpoint=True`` (the multi-action consumers: dedup_clusters
+    reads the gate metric, then seeds, then edges) eagerly
+    materializes both frames so the kernel and the corpus-wide
+    aggregation run once. Single-action consumers
+    (``ngram_jaccard_pairs``) pass False: the kernel subtree is then
+    duplicated per consumer (a cheap map) but the whole query
+    pipelines as ONE job with no synchronization barriers — measured
+    ~15% faster at sf1.0."""
     docs = spark.table("documents")
     sh = _shingle_rows_pandas(docs)
     slots = spark.sparkContext.defaultParallelism
@@ -276,15 +286,15 @@ def _shingle_base(spark: SparkSession, sf_dir: str, max_df: int = 100
         # under-split scan (small-SF single file): spread the CPU-bound
         # kernel over every slot — same gate as extract_queries._spread
         sh = _shingle_rows_pandas(docs.repartition(slots * 2))
-    sh = sh.localCheckpoint(eager=True)
-    # checkpoint AFTER the >=2 filter: the frame shrinks to the
-    # multi-doc shingles only, and the expensive corpus-wide
-    # aggregation runs once even when pairs and seeds are consumed by
-    # separate actions (dedup_clusters reads seeds before edges)
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=True)
+    # filter BEFORE any checkpoint: the frame shrinks to the multi-doc
+    # shingles only
     grp = (sh.groupBy("shingle")
            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-           .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
-           .localCheckpoint(eager=True))
+           .where((F.size("ds") >= 2) & (F.size("ds") <= max_df)))
+    if checkpoint:
+        grp = grp.localCheckpoint(eager=True)
     return sh, grp
 
 
@@ -339,7 +349,9 @@ def _q_ngram_jaccard_pandas(spark: SparkSession, sf_dir: str,
     to ``_ngram_jaccard_sql("spark")`` (the in-tree reference; DuckDB
     oracle unchanged)."""
     register_views(spark, sf_dir)
-    pairs, sizes, _seeds = _capped_pairs(spark, sf_dir, max_df)
+    pairs, sizes, _seeds = _capped_pairs(
+        spark, sf_dir, max_df,
+        base=_shingle_base(spark, sf_dir, max_df, checkpoint=False))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
